@@ -1,0 +1,135 @@
+"""GF(2^8) table and kernel tests.
+
+Parity targets: the reference's table builder self-tests
+(Matlab/Build_GF256_Lookup_Tables.m:43-67) and the shipped table fixture
+``GF_256_add_mult_inv_tables.mat``.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ldpc_erasure_codes_tpu import gf
+from tests.conftest import REFERENCE_DIR, reference_available
+
+T = gf.build_tables()
+
+
+class TestFieldAxioms:
+    def test_mul_commutative(self):
+        assert np.array_equal(T.mul, T.mul.T)
+
+    def test_mul_identity(self):
+        assert np.array_equal(T.mul[1], np.arange(256))
+
+    def test_mul_zero(self):
+        assert np.all(T.mul[0] == 0)
+        assert np.all(T.mul[:, 0] == 0)
+
+    def test_inverse(self):
+        a = np.arange(1, 256)
+        assert np.all(T.mul[a, T.inv[a]] == 1)
+        assert T.inv[0] == 0
+
+    def test_associativity_random(self):
+        rng = np.random.default_rng(0)
+        a, b, c = rng.integers(0, 256, size=(3, 4096))
+        assert np.array_equal(T.mul[T.mul[a, b], c], T.mul[a, T.mul[b, c]])
+
+    def test_distributivity_random(self):
+        rng = np.random.default_rng(1)
+        a, b, c = rng.integers(0, 256, size=(3, 4096))
+        assert np.array_equal(T.mul[a, b ^ c], T.mul[a, b] ^ T.mul[a, c])
+
+    def test_exp_log_roundtrip(self):
+        a = np.arange(1, 256)
+        assert np.array_equal(T.exp[T.log[a]], a)
+
+    def test_exp_doubled(self):
+        assert np.array_equal(T.exp[255:510], T.exp[0:255])
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference fixtures not present")
+class TestAgainstReferenceFixture:
+    """Byte-exact parity with the shipped MATLAB-built tables."""
+
+    @pytest.fixture(scope="class")
+    def mat(self):
+        import scipy.io as sio
+
+        path = os.path.join(REFERENCE_DIR, "Matlab", "GF_256_add_mult_inv_tables.mat")
+        return sio.loadmat(path)
+
+    def test_mult_table(self, mat):
+        assert np.array_equal(T.mul, mat["GF_mult_lookup"])
+
+    def test_add_table(self, mat):
+        a = np.arange(256)
+        add = a[:, None] ^ a[None, :]
+        assert np.array_equal(add, mat["GF_add_lookup"].astype(np.int64))
+
+    def test_inv_table(self, mat):
+        # Reference inv table is indexed by value 1..255 (255 entries).
+        assert np.array_equal(T.inv[1:], mat["GF_inv_lookup"].ravel())
+
+
+class TestDeviceOps:
+    def test_gf_mul_matches_table(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(2)
+        a, b = rng.integers(0, 256, size=(2, 8192), dtype=np.uint8)
+        out = np.asarray(gf.gf_mul(jnp.asarray(a), jnp.asarray(b)))
+        assert np.array_equal(out, T.mul[a.astype(int), b.astype(int)])
+
+    def test_gf_mul_log_matches_table(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        a, b = rng.integers(0, 256, size=(2, 8192), dtype=np.uint8)
+        out = np.asarray(gf.gf_mul_log(jnp.asarray(a), jnp.asarray(b)))
+        assert np.array_equal(out, T.mul[a.astype(int), b.astype(int)])
+
+    def test_gf_inv_device(self):
+        import jax.numpy as jnp
+
+        a = np.arange(256, dtype=np.uint8)
+        out = np.asarray(gf.gf_inv(jnp.asarray(a)))
+        assert np.array_equal(out, T.inv)
+
+    def test_bit_pack_roundtrip(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(4)
+        x = rng.integers(0, 256, size=(3, 64), dtype=np.uint8)
+        bits = gf.bytes_to_bits(jnp.asarray(x))
+        back = np.asarray(gf.bits_to_bytes(bits))
+        assert np.array_equal(back, x)
+
+
+class TestBitImage:
+    def test_matmul_bitimage_matches_numpy(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        k, n, batch = 24, 40, 16
+        G = rng.integers(0, 256, size=(k, n), dtype=np.uint8)
+        u = rng.integers(0, 256, size=(batch, k), dtype=np.uint8)
+        want = np.stack([gf.gf_matvec_np(G.T, row) for row in u])
+        g_bits = jnp.asarray(gf.bit_image(G), dtype=np.int8)
+        got = np.asarray(gf.gf_matmul_bitimage(jnp.asarray(u), g_bits))
+        assert np.array_equal(got, want)
+
+    def test_matrix_inverse(self):
+        rng = np.random.default_rng(6)
+        for _ in range(5):
+            while True:
+                A = rng.integers(0, 256, size=(12, 12), dtype=np.uint8)
+                try:
+                    Ainv = gf.gf_inv_matrix_np(A)
+                    break
+                except ValueError:
+                    continue
+            eye = gf.gf_matmul_np(A, Ainv)
+            assert np.array_equal(eye, np.eye(12, dtype=np.uint8))
