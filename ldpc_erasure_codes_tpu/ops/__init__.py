@@ -1,0 +1,23 @@
+"""Device kernels: encode, peeling decode, Gaussian elimination, arrays."""
+
+from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays, device_arrays
+from ldpc_erasure_codes_tpu.ops.encode import encode, encode_nb, encode_scan, encode_wide
+from ldpc_erasure_codes_tpu.ops.peel import (
+    peel_decode,
+    peel_decode_with_history,
+    peel_step_gather,
+    peel_step_matmul,
+)
+
+__all__ = [
+    "CodeArrays",
+    "device_arrays",
+    "encode",
+    "encode_nb",
+    "encode_scan",
+    "encode_wide",
+    "peel_decode",
+    "peel_decode_with_history",
+    "peel_step_gather",
+    "peel_step_matmul",
+]

@@ -1,0 +1,93 @@
+"""Device-resident code arrays.
+
+:class:`CodeArrays` is the pytree handed to every jitted kernel: all arrays an
+(n, k) code needs on device, derived once from the host-side
+:class:`~ldpc_erasure_codes_tpu.codes.registry.LDPCCode`. Passing it as a
+pytree argument (rather than closing over globals) keeps kernels retrace-free
+and mesh-shardable (the arrays are replicated; the codeword batch is sharded).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ldpc_erasure_codes_tpu import gf
+from ldpc_erasure_codes_tpu.codes.registry import LDPCCode
+
+
+class CodeArrays(NamedTuple):
+    """Device arrays for one code. Static ints live in aux fields of the
+    kernels (passed statically), not here.
+
+    Attributes:
+      h: (m, n) int8 binary support of H (mask form, MXU operand).
+      h_t: (n, m) int8 transpose of ``h`` (contraction layout).
+      vlist_idx: (m, dmax) int32 neighbor columns, pad = n.
+      vlist_len: (m,) int32 check degrees.
+      vlist_val: (m, dmax) uint8 GF coefficients, pad = 0.
+      vlist_inv_val: (m, dmax) uint8 inverse coefficients, pad = 0.
+      clist_idx: (n, cmax) int32 check rows per symbol, pad = m.
+      clist_len: (n,) int32 symbol degrees.
+      parity_gen: (k, m) int8 binary parity generator (binary codes), or the
+        (8k, 8m) int8 bit image of the GF(256) parity generator (NB codes).
+    """
+
+    h: jnp.ndarray
+    h_t: jnp.ndarray
+    vlist_idx: jnp.ndarray
+    vlist_len: jnp.ndarray
+    vlist_val: jnp.ndarray
+    vlist_inv_val: jnp.ndarray
+    clist_idx: jnp.ndarray
+    clist_len: jnp.ndarray
+    parity_gen: jnp.ndarray
+
+
+def _code_digest(code: LDPCCode) -> str:
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(f"{code.name}|{code.n}|{code.k}|{code.gf_order}".encode())
+    h.update(code.vlist_idx.tobytes())
+    h.update(code.vlist_val.tobytes())
+    return h.hexdigest()
+
+
+_HOST_ARRAYS_CACHE: dict[str, dict] = {}
+
+
+def _host_arrays(code: LDPCCode) -> dict:
+    key = _code_digest(code)
+    if key in _HOST_ARRAYS_CACHE:
+        return _HOST_ARRAYS_CACHE[key]
+    t = gf.build_tables()
+    cl_idx, cl_len, _cl_val = code.clist
+    hd = (code.h_dense != 0).astype(np.int8)
+    if code.gf_order == 2:
+        pgen = code.parity_gen.astype(np.int8)
+    else:
+        pgen = gf.bit_image(code.parity_gen_nb).astype(np.int8)
+    out = dict(
+        h=hd,
+        h_t=hd.T.copy(),
+        vlist_idx=code.vlist_idx,
+        vlist_len=code.vlist_len.astype(np.int32),
+        vlist_val=code.vlist_val,
+        vlist_inv_val=t.inv[code.vlist_val],
+        clist_idx=cl_idx,
+        clist_len=cl_len,
+        parity_gen=pgen,
+    )
+    _HOST_ARRAYS_CACHE[key] = out
+    return out
+
+
+def device_arrays(code: LDPCCode) -> CodeArrays:
+    """Build (host-cached) CodeArrays for a code; jnp conversion per call so
+    no tracers are ever cached."""
+    host = _host_arrays(code)
+    return CodeArrays(**{k: jnp.asarray(v) for k, v in host.items()})
