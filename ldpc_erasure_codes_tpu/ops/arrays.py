@@ -26,6 +26,8 @@ class CodeArrays(NamedTuple):
     Attributes:
       h: (m, n) int8 binary support of H (mask form, MXU operand).
       h_t: (n, m) int8 transpose of ``h`` (contraction layout).
+      h_nb: (m, n) uint8 GF(256) coefficient matrix (equals ``h`` for
+        binary codes).
       vlist_idx: (m, dmax) int32 neighbor columns, pad = n.
       vlist_len: (m,) int32 check degrees.
       vlist_val: (m, dmax) uint8 GF coefficients, pad = 0.
@@ -38,6 +40,7 @@ class CodeArrays(NamedTuple):
 
     h: jnp.ndarray
     h_t: jnp.ndarray
+    h_nb: jnp.ndarray
     vlist_idx: jnp.ndarray
     vlist_len: jnp.ndarray
     vlist_val: jnp.ndarray
@@ -74,6 +77,7 @@ def _host_arrays(code: LDPCCode) -> dict:
     out = dict(
         h=hd,
         h_t=hd.T.copy(),
+        h_nb=code.h_dense_nb,
         vlist_idx=code.vlist_idx,
         vlist_len=code.vlist_len.astype(np.int32),
         vlist_val=code.vlist_val,

@@ -1,0 +1,62 @@
+"""Hybrid MPA + ML decoder: peel first, Gauss-Jordan the residual.
+
+TPU re-design of the reference's hybrid decoders
+(Matlab/My_LDPC_HybridML_Erasure_Decoder.m:3-91,
+Matlab/My_LDPC_HybridML_NonBinary_Erasure_Decoder.m:4-131): cheap iterative
+peeling removes the bulk of erasures; the rare residual stopping set is solved
+exactly by the batched GE kernel. This combination beats the equivalent-rate
+Reed-Solomon code at every tested erasure rate (paper tex:164).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
+from ldpc_erasure_codes_tpu.ops.ge import ge_solve
+from ldpc_erasure_codes_tpu.ops.peel import peel_decode
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gf_order", "peel_iters", "emax", "impl")
+)
+def hybrid_decode(
+    arrays: CodeArrays,
+    values: jax.Array,
+    erased: jax.Array,
+    *,
+    gf_order: int = 2,
+    peel_iters: int = 10,
+    emax: int = 128,
+    impl: str = "gather",
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Peel up to ``peel_iters`` sweeps, then GE-solve the residual.
+
+    The reference runs 10 peeling iterations before falling back
+    (My_LDPC_HybridML_Erasure_Decoder.m:9). ``emax`` buckets the residual GE
+    width; codewords whose residual exceeds it are flagged failed.
+
+    Returns (values, erased, iters, failed).
+    """
+    values, erased, iters = peel_decode(
+        arrays, values, erased, gf_order=gf_order, max_iters=peel_iters, impl=impl
+    )
+    any_residual = jnp.any(erased)
+
+    def with_ge(args):
+        v, e = args
+        return ge_solve(arrays, v, e, emax=emax, gf_order=gf_order)
+
+    def without_ge(args):
+        v, e = args
+        return v, e, jnp.zeros(e.shape[0], dtype=bool)
+
+    # Skip the GE cube entirely when the whole batch peeled clean (the common
+    # case at low PER).
+    values, erased, failed = jax.lax.cond(
+        any_residual, with_ge, without_ge, (values, erased)
+    )
+    return values, erased, iters, failed

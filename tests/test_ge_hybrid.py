@@ -1,0 +1,152 @@
+"""Batched GE and hybrid decoder tests vs the NumPy oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ldpc_erasure_codes_tpu import codes as codes_mod
+from ldpc_erasure_codes_tpu import ops
+from ldpc_erasure_codes_tpu.ops.ge import ge_solve
+from ldpc_erasure_codes_tpu.ops.hybrid import hybrid_decode
+from ldpc_erasure_codes_tpu.utils import oracle
+
+
+@pytest.fixture(scope="module")
+def c2000():
+    return codes_mod.get_code("n2000_k1000")
+
+
+@pytest.fixture(scope="module")
+def a2000(c2000):
+    return ops.device_arrays(c2000)
+
+
+@pytest.fixture(scope="module")
+def nb2040():
+    return codes_mod.get_code("n2040_k1530_gf256")
+
+
+@pytest.fixture(scope="module")
+def anb2040(nb2040):
+    return ops.device_arrays(nb2040)
+
+
+def _mk_batch(rng, code, b, per, nb=False):
+    hi = 256 if nb else 2
+    src = rng.integers(0, hi, (b, code.k), dtype=np.uint8)
+    enc = oracle.encode_triangular_nb if nb else oracle.encode_triangular
+    cws = np.stack([enc(code, s) for s in src]).astype(np.uint8)
+    mask = rng.random((b, code.n)) <= per
+    vals = (cws * ~mask).astype(np.uint8)
+    return cws, vals, mask
+
+
+class TestGESolve:
+    def test_pure_ge_binary(self, c2000, a2000):
+        # Erase few symbols; GE alone (no peeling) must solve them all.
+        rng = np.random.default_rng(20)
+        cws, vals, mask = _mk_batch(rng, c2000, 8, 0.03)
+        v, e, failed = ge_solve(a2000, jnp.asarray(vals), jnp.asarray(mask), emax=128)
+        assert not np.asarray(failed).any()
+        assert not np.asarray(e).any()
+        assert np.array_equal(np.asarray(v), cws)
+
+    def test_pure_ge_nb(self, nb2040, anb2040):
+        rng = np.random.default_rng(21)
+        cws, vals, mask = _mk_batch(rng, nb2040, 4, 0.02, nb=True)
+        v, e, failed = ge_solve(
+            anb2040, jnp.asarray(vals), jnp.asarray(mask), emax=96, gf_order=256
+        )
+        assert not np.asarray(failed).any()
+        assert np.array_equal(np.asarray(v), cws)
+
+    def test_bucket_overflow_flagged(self, c2000, a2000):
+        rng = np.random.default_rng(22)
+        cws, vals, mask = _mk_batch(rng, c2000, 2, 0.10)
+        v, e, failed = ge_solve(a2000, jnp.asarray(vals), jnp.asarray(mask), emax=32)
+        assert np.asarray(failed).all()  # ~200 erasures >> 32
+        assert np.asarray(e).any(axis=1).all()  # masks left set
+
+    def test_mixed_batch(self, c2000, a2000):
+        # One clean codeword, one overflowing, several normal.
+        rng = np.random.default_rng(23)
+        cws, vals, mask = _mk_batch(rng, c2000, 6, 0.04)
+        mask[0, :] = False
+        vals[0] = cws[0]
+        mask[1, :300] = True
+        vals[1, :300] = 0
+        v, e, failed = ge_solve(a2000, jnp.asarray(vals), jnp.asarray(mask), emax=128)
+        failed = np.asarray(failed)
+        assert not failed[0]
+        assert failed[1]
+        assert np.array_equal(np.asarray(v)[0], cws[0])
+        for i in range(2, 6):
+            assert not failed[i]
+            assert np.array_equal(np.asarray(v)[i], cws[i])
+
+    def test_wide_symbols(self, c2000, a2000):
+        rng = np.random.default_rng(24)
+        b, w = 2, 2
+        src_bits = rng.integers(0, 2, (b, 64, c2000.k), dtype=np.uint8)
+        planes = np.asarray(ops.encode(a2000, jnp.asarray(src_bits)))
+        words = np.zeros((b, c2000.n, w), dtype=np.uint32)
+        for s in range(64):
+            words[:, :, s // 32] |= planes[:, s, :].astype(np.uint32) << (s % 32)
+        mask = rng.random((b, c2000.n)) <= 0.03
+        vals = words * ~mask[:, :, None]
+        v, e, failed = ge_solve(
+            a2000, jnp.asarray(vals), jnp.asarray(mask), emax=128
+        )
+        assert not np.asarray(failed).any()
+        assert np.array_equal(np.asarray(v), words)
+
+
+class TestHybridDecode:
+    def test_matches_oracle(self, c2000, a2000):
+        rng = np.random.default_rng(25)
+        b = 8
+        cws, vals, mask = _mk_batch(rng, c2000, b, 0.40)
+        emax = 512
+        v, e, iters, failed = hybrid_decode(
+            a2000, jnp.asarray(vals), jnp.asarray(mask), peel_iters=30, emax=emax
+        )
+        v, failed = np.asarray(v), np.asarray(failed)
+        for i in range(b):
+            recv = cws[i].astype(np.int64)
+            recv[mask[i]] = oracle.ERASED
+            want, _, singular = oracle.hybrid_ml_decode(c2000, recv, peel_iters=30)
+            assert failed[i] == singular, f"cw {i}: failure flags differ"
+            if not singular:
+                assert np.array_equal(v[i], cws[i]), f"cw {i}: wrong decode"
+                assert np.array_equal(v[i], want)
+
+    def test_matches_oracle_nb(self, nb2040, anb2040):
+        rng = np.random.default_rng(26)
+        b = 4
+        cws, vals, mask = _mk_batch(rng, nb2040, b, 0.22, nb=True)
+        v, e, iters, failed = hybrid_decode(
+            anb2040,
+            jnp.asarray(vals),
+            jnp.asarray(mask),
+            gf_order=256,
+            peel_iters=30,
+            emax=448,
+        )
+        v, failed = np.asarray(v), np.asarray(failed)
+        for i in range(b):
+            recv = cws[i].astype(np.int64)
+            recv[mask[i]] = oracle.ERASED
+            want, _, singular = oracle.hybrid_ml_decode_nb(nb2040, recv, peel_iters=30)
+            assert failed[i] == singular
+            if not singular:
+                assert np.array_equal(v[i], cws[i])
+
+    def test_clean_batch_skips_ge(self, c2000, a2000):
+        rng = np.random.default_rng(27)
+        cws, vals, mask = _mk_batch(rng, c2000, 4, 0.05)
+        v, e, iters, failed = hybrid_decode(
+            a2000, jnp.asarray(vals), jnp.asarray(mask), peel_iters=30, emax=64
+        )
+        assert not np.asarray(failed).any()
+        assert np.array_equal(np.asarray(v), cws)
