@@ -1,7 +1,15 @@
 """Device kernels: encode, peeling decode, Gaussian elimination, arrays."""
 
 from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays, device_arrays
-from ldpc_erasure_codes_tpu.ops.encode import encode, encode_nb, encode_scan, encode_wide
+from ldpc_erasure_codes_tpu.ops.encode import (
+    encode,
+    encode_nb,
+    encode_packed,
+    encode_scan,
+    encode_wide,
+)
+from ldpc_erasure_codes_tpu.ops.ge import ge_solve
+from ldpc_erasure_codes_tpu.ops.hybrid import hybrid_decode
 from ldpc_erasure_codes_tpu.ops.peel import (
     peel_decode,
     peel_decode_with_history,
@@ -14,8 +22,11 @@ __all__ = [
     "device_arrays",
     "encode",
     "encode_nb",
+    "encode_packed",
     "encode_scan",
     "encode_wide",
+    "ge_solve",
+    "hybrid_decode",
     "peel_decode",
     "peel_decode_with_history",
     "peel_step_gather",

@@ -36,6 +36,14 @@ class CodeArrays(NamedTuple):
       clist_len: (n,) int32 symbol degrees.
       parity_gen: (k, m) int8 binary parity generator (binary codes), or the
         (8k, 8m) int8 bit image of the GF(256) parity generator (NB codes).
+      enc_src_idx: (m, dmax) int32 — per parity row, the neighbor columns that
+        fall in the source region (col < k), pad = k.
+      enc_src_val: (m, dmax) uint8 GF coefficients on the same support, pad 0.
+      enc_par_idx: (m, pmax) int32 — per parity row i, the (col - k) indices of
+        strictly-lower parity-region neighbors (k <= col < k+i), pad = m.
+      enc_par_val: (m, pmax) uint8 coefficients, pad 0.
+      enc_diag_inv: (m,) uint8 — inverse of each row's diagonal (triangle)
+        coefficient; all-ones for binary codes.
     """
 
     h: jnp.ndarray
@@ -48,6 +56,11 @@ class CodeArrays(NamedTuple):
     clist_idx: jnp.ndarray
     clist_len: jnp.ndarray
     parity_gen: jnp.ndarray
+    enc_src_idx: jnp.ndarray
+    enc_src_val: jnp.ndarray
+    enc_par_idx: jnp.ndarray
+    enc_par_val: jnp.ndarray
+    enc_diag_inv: jnp.ndarray
 
 
 def _code_digest(code: LDPCCode) -> str:
@@ -74,6 +87,41 @@ def _host_arrays(code: LDPCCode) -> dict:
         pgen = code.parity_gen.astype(np.int8)
     else:
         pgen = gf.bit_image(code.parity_gen_nb).astype(np.int8)
+
+    # Encoder split of the Vlist: source-region neighbors (parallel gather-XOR
+    # stage) vs strictly-lower parity-region neighbors (sequential
+    # back-substitution stage). Triangle form guarantees row i's parity
+    # neighbors all have column <= k+i with the diagonal at exactly k+i.
+    m, dmax, k, n = code.m, code.dmax, code.k, code.n
+    enc_src_idx = np.full((m, dmax), k, dtype=np.int32)
+    enc_src_val = np.zeros((m, dmax), dtype=np.uint8)
+    par_rows: list[list[tuple[int, int]]] = []
+    diag = np.zeros(m, dtype=np.uint8)
+    for r in range(m):
+        d = int(code.vlist_len[r])
+        s_fill = 0
+        par_rows.append([])
+        for j in range(d):
+            c = int(code.vlist_idx[r, j])
+            v = int(code.vlist_val[r, j])
+            if c < k:
+                enc_src_idx[r, s_fill] = c
+                enc_src_val[r, s_fill] = v
+                s_fill += 1
+            elif c == k + r:
+                diag[r] = v
+            else:
+                assert c < k + r, f"row {r}: parity neighbor above diagonal"
+                par_rows[r].append((c - k, v))
+    assert np.all(diag != 0), "triangle diagonal missing"
+    pmax = max(1, max(len(p) for p in par_rows))
+    enc_par_idx = np.full((m, pmax), m, dtype=np.int32)
+    enc_par_val = np.zeros((m, pmax), dtype=np.uint8)
+    for r, plist in enumerate(par_rows):
+        for j, (c, v) in enumerate(plist):
+            enc_par_idx[r, j] = c
+            enc_par_val[r, j] = v
+
     out = dict(
         h=hd,
         h_t=hd.T.copy(),
@@ -85,6 +133,11 @@ def _host_arrays(code: LDPCCode) -> dict:
         clist_idx=cl_idx,
         clist_len=cl_len,
         parity_gen=pgen,
+        enc_src_idx=enc_src_idx,
+        enc_src_val=enc_src_val,
+        enc_par_idx=enc_par_idx,
+        enc_par_val=enc_par_val,
+        enc_diag_inv=t.inv[diag],
     )
     _HOST_ARRAYS_CACHE[key] = out
     return out

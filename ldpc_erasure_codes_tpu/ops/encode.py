@@ -54,6 +54,67 @@ def encode_wide(arrays: CodeArrays, source_bits: jax.Array) -> jax.Array:
     return encode(arrays, source_bits)
 
 
+def encode_packed(
+    arrays: CodeArrays, source: jax.Array, *, gf_order: int = 2
+) -> jax.Array:
+    """Wide-symbol systematic encode on packed words: (B, k, W) -> (B, n, W).
+
+    The reference's production packet is 8192 bits handled as 128 unrolled
+    64-bit XOR lanes (OpenCL/device/ldpc_erasure_encoder.cl:72-84,
+    symbol_type at OpenCL/host/src/main.cpp:44-47). Here W packed words (any
+    unsigned dtype for binary; uint8 GF symbols for GF(256)) ride as a trailing
+    vector axis.
+
+    Two stages split the triangular solve:
+
+    1. source stage (parallel over all m rows): ``t = A . s`` as a gather-XOR
+       (binary) / gather-MAC (GF) over each row's source-region neighbors;
+    2. parity stage: ``p = L^{-1} t`` via ``lax.scan`` over parity rows — each
+       step XORs the row's few strictly-lower parity neighbors (typically <= 3)
+       and divides by the diagonal coefficient (GF only). The sequential axis
+       is m steps of tiny VPU work; batch and lane axes keep the VPU full.
+    """
+    b, k, w = source.shape
+    m = arrays.enc_par_idx.shape[0]
+    nb = gf_order == 256
+
+    src_p = jnp.pad(source, ((0, 0), (0, 1), (0, 0)))  # pad col k reads zero
+    sv = jnp.take(src_p, arrays.enc_src_idx, axis=1)  # (B, m, dmax, W)
+    if nb:
+        sv = gf.gf_mul(arrays.enc_src_val[None, :, :, None], sv)
+    t = jax.lax.reduce(
+        sv, sv.dtype.type(0), jax.lax.bitwise_xor, (2,)
+    )  # (B, m, W)
+
+    # Scan in parity-major layout (m leading) so each step is a cheap slice.
+    t_m = jnp.moveaxis(t, 1, 0)  # (m, B, W)
+    par0 = jnp.zeros((m + 1, b, w), dtype=source.dtype)
+
+    def step(par, row):
+        i, t_i, pidx, pval, dinv = row
+        nbrs = jnp.take(par, pidx, axis=0)  # (pmax, B, W)
+        if nb:
+            nbrs = gf.gf_mul(pval[:, None, None], nbrs)
+        acc = t_i ^ jax.lax.reduce(
+            nbrs, nbrs.dtype.type(0), jax.lax.bitwise_xor, (0,)
+        )
+        if nb:
+            acc = gf.gf_mul(dinv, acc)
+        par = jax.lax.dynamic_update_index_in_dim(par, acc, i, axis=0)
+        return par, None
+
+    rows = (
+        jnp.arange(m, dtype=jnp.int32),
+        t_m,
+        arrays.enc_par_idx,
+        arrays.enc_par_val,
+        arrays.enc_diag_inv,
+    )
+    par, _ = jax.lax.scan(step, par0, rows)
+    parity = jnp.moveaxis(par[:m], 0, 1)  # (B, m, W)
+    return jnp.concatenate([source, parity], axis=1)
+
+
 def encode_scan(arrays: CodeArrays, source: jax.Array, n: int, k: int) -> jax.Array:
     """Sequential-schedule binary encoder (cross-check path).
 

@@ -1,0 +1,82 @@
+"""Configuration dataclasses for the simulation driver.
+
+The reference configures by editing commented-out MATLAB lines and a small CLI
+on the OpenCL host (`-p` PER/64, `-n` frames, `-i` iters, `-c` code,
+`-e|-h` platform — OpenCL/host/src/main.cpp:157-170). Here the whole space is
+typed config: code registry key, channel, decoder, batch/symbol geometry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelConfig:
+    """Erasure-channel operating point.
+
+    kind:
+      * ``iid``  — i.i.d. with real-valued ``per``
+        (Matlab/LDPCErasureCodes_MessagePassingAlgSim.m:183-188);
+      * ``per64`` — i.i.d. with PER = per_numerator/64, the FPGA's on-device
+        parameterization (OpenCL/device/ldpc_erasure_decoder_top.cl:102-110);
+      * ``gilbert_elliott`` — 2-state bursty channel
+        (Matlab/Bursty_Error_Channel_Model_Generator.m:12-47).
+    """
+
+    kind: str = "iid"
+    per: float = 0.1
+    per_numerator: int = 9
+    ge_alpha: float = 0.01
+    ge_beta: float = 0.5
+    ge_transition: float = 0.1
+    ge_bias: float = 10.0
+    carry_state: bool = True  # carry GE state across codewords (NB sim does)
+
+    def __post_init__(self):
+        if self.kind not in ("iid", "per64", "gilbert_elliott"):
+            raise ValueError(f"unknown channel kind {self.kind!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Decoder selection and iteration budget.
+
+    kind: ``peel`` (MPA only), ``hybrid`` (MPA then Gauss-Jordan on the
+    residual), or ``ml`` (Gauss-Jordan from scratch, no peeling).
+    """
+
+    kind: str = "hybrid"
+    max_iters: int = 50  # peel-only cap (My_LDPC_Erasure_Decoder.m:10)
+    peel_iters: int = 10  # hybrid peel budget (My_LDPC_HybridML_Erasure_Decoder.m:9)
+    emax: int = 128  # residual-GE column bucket
+    impl: str = "gather"  # "gather" | "matmul" peeling step
+    early_stop_k: bool = False  # FPGA first-k-known early exit
+
+    def __post_init__(self):
+        if self.kind not in ("peel", "hybrid", "ml"):
+            raise ValueError(f"unknown decoder kind {self.kind!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """One simulation campaign.
+
+    symbol_words: 0 → scalar symbols (one uint8 per code symbol — the MATLAB
+    sims' geometry); W > 0 → packed wide symbols, W words per symbol riding a
+    trailing vector axis (uint32 words for binary = 32W bits/symbol; uint8 GF
+    symbols for GF(256)). The FPGA's 8192-bit packet is symbol_words=256
+    binary.
+    """
+
+    code: str = "n2000_k1000"
+    gf_order: int = 2
+    batch: int = 256
+    symbol_words: int = 0
+    channel: ChannelConfig = dataclasses.field(default_factory=ChannelConfig)
+    decoder: DecoderConfig = dataclasses.field(default_factory=DecoderConfig)
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.gf_order not in (2, 256):
+            raise ValueError("gf_order must be 2 or 256")

@@ -1,0 +1,114 @@
+"""Monte-Carlo statistics: the TPU replacement for the FPGA's ERROR_STAT
+channel (OpenCL/device/ldpc_erasure_decoder_top.cl:46-55,124-158) and the
+MATLAB sims' FER bookkeeping (LDPCErasureCodes_MessagePassingAlgSim.m:214-236).
+
+All fields are summable int32 device scalars/vectors; the host driver
+accumulates them into Python ints across batches (no overflow at 1e8+ frames).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SimStats(NamedTuple):
+    """Per-batch counters (psum-reducible pytree)."""
+
+    frames: jax.Array  # () int32
+    block_errors: jax.Array  # () int32 — residual erasure among first k
+    rs_block_errors: jax.Array  # () int32 — analytic MDS windowed comparison
+    ml_failed: jax.Array  # () int32 — singular/overflow GE frames
+    erased_symbols: jax.Array  # () int32 — channel erasures (measured PER)
+    residual_erasures: jax.Array  # () int32 — erasures left after decode
+    iters_hist: jax.Array  # (max_iters + 1,) int32 — iterations to finish
+
+
+def batch_stats(
+    erased_in: jax.Array,
+    erased_out: jax.Array,
+    iters: jax.Array,
+    failed: jax.Array | None,
+    k: int,
+    rs_n: int,
+    rs_k: int,
+    max_iters: int,
+) -> SimStats:
+    """Fold one decoded batch into counters.
+
+    Block error = any information symbol (first k) still erased — the FPGA
+    counts residual erasures the same way
+    (OpenCL/device/ldpc_erasure_decoder_perf_tests.cl:215-228).
+
+    RS comparison needs no RS decoder: by the MDS property a rate-matched
+    RS(rs_n, rs_k) block fails iff its window holds more than rs_n - rs_k
+    erasures (paper Latex/Milcom_2022_ErasureCodes.tex:220; inline comparison
+    at decoder_perf_tests.cl:64-81 and MessagePassingAlgSim.m:199-205).
+    """
+    b, n = erased_in.shape
+    blk = jnp.any(erased_out[:, :k], axis=1)
+    if rs_n > 0 and n % rs_n == 0:
+        wins = erased_in.reshape(b, n // rs_n, rs_n)
+        cnt = jnp.sum(wins, axis=2, dtype=jnp.int32)
+        rs_blk = jnp.any(cnt > (rs_n - rs_k), axis=1)
+    else:
+        rs_blk = jnp.zeros((b,), dtype=bool)
+    hist = jnp.zeros((max_iters + 1,), jnp.int32).at[
+        jnp.clip(iters, 0, max_iters)
+    ].add(1)
+    nfail = (
+        jnp.sum(failed, dtype=jnp.int32) if failed is not None else jnp.int32(0)
+    )
+    return SimStats(
+        frames=jnp.int32(b),
+        block_errors=jnp.sum(blk, dtype=jnp.int32),
+        rs_block_errors=jnp.sum(rs_blk, dtype=jnp.int32),
+        ml_failed=nfail,
+        erased_symbols=jnp.sum(erased_in, dtype=jnp.int32),
+        residual_erasures=jnp.sum(erased_out, dtype=jnp.int32),
+        iters_hist=hist,
+    )
+
+
+@dataclasses.dataclass
+class Accumulator:
+    """Host-side accumulation of SimStats across batches (Python ints)."""
+
+    frames: int = 0
+    block_errors: int = 0
+    rs_block_errors: int = 0
+    ml_failed: int = 0
+    erased_symbols: int = 0
+    residual_erasures: int = 0
+    iters_hist: list[int] = dataclasses.field(default_factory=list)
+
+    def add(self, s: SimStats) -> None:
+        self.frames += int(s.frames)
+        self.block_errors += int(s.block_errors)
+        self.rs_block_errors += int(s.rs_block_errors)
+        self.ml_failed += int(s.ml_failed)
+        self.erased_symbols += int(s.erased_symbols)
+        self.residual_erasures += int(s.residual_erasures)
+        h = [int(x) for x in s.iters_hist]
+        if len(self.iters_hist) < len(h):
+            self.iters_hist += [0] * (len(h) - len(self.iters_hist))
+        for i, v in enumerate(h):
+            self.iters_hist[i] += v
+
+    @property
+    def fer(self) -> float:
+        return self.block_errors / max(self.frames, 1)
+
+    @property
+    def rs_fer(self) -> float:
+        return self.rs_block_errors / max(self.frames, 1)
+
+    @property
+    def mean_iters(self) -> float:
+        tot = sum(self.iters_hist)
+        if not tot:
+            return 0.0
+        return sum(i * v for i, v in enumerate(self.iters_hist)) / tot
