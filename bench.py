@@ -31,12 +31,13 @@ def main() -> None:
     from ldpc_erasure_codes_tpu.codes import get_code
     from ldpc_erasure_codes_tpu.ops import device_arrays, encode_packed, peel_decode
 
+    quick = "--quick" in sys.argv
     code = get_code("n2040_k1530")
     arrays = device_arrays(code)
-    b = int(os.environ.get("BENCH_BATCH", "64"))
+    b = int(os.environ.get("BENCH_BATCH", "16" if quick else "64"))
     w = int(os.environ.get("BENCH_WORDS", "256"))  # 256 x uint32 = 8192 bits = S
     per = float(os.environ.get("BENCH_PER", "0.1406"))
-    reps = int(os.environ.get("BENCH_REPS", "20"))
+    reps = int(os.environ.get("BENCH_REPS", "5" if quick else "20"))
     symbol_bits = 32 * w
 
     key = jax.random.key(0)

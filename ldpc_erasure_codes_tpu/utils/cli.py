@@ -1,0 +1,258 @@
+"""Command-line interface.
+
+The reference's user surface is the OpenCL host CLI
+(``./host -p <PER/64> -n <frames> -i <iters> -c <code> -e|-h``,
+OpenCL/host/src/main.cpp:157-170) plus hand-edited MATLAB scripts. This CLI
+covers both tiers:
+
+  sim         FER sweep (the MATLAB sim drivers + FPGA data_out statistics)
+  throughput  decoder throughput measurement (main.cpp:652-658 formula)
+  codes       list the registry
+  census      4/6/8-cycle census of a code (Hcyclefinder)
+  gen         construct a girth-8 code and save it (.npz)
+  golden      generate + verify golden vector files (the MATLAB<->OpenCL
+              cross-validation protocol)
+
+Run as ``python -m ldpc_erasure_codes_tpu.utils.cli <cmd> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _parse_profile(s: str):
+    """'102x6,30x5' -> [(102, 6), (30, 5)]."""
+    out = []
+    for part in s.split(","):
+        cnt, deg = part.lower().split("x")
+        out.append((int(cnt), int(deg)))
+    return out
+
+
+def cmd_sim(args) -> int:
+    from ldpc_erasure_codes_tpu.codes import get_code
+    from ldpc_erasure_codes_tpu.sim import (
+        ChannelConfig,
+        DecoderConfig,
+        SimConfig,
+        format_report,
+        run_fer_sweep,
+    )
+
+    code = get_code(args.code)
+    cfg = SimConfig(
+        code=args.code,
+        gf_order=args.gf,
+        batch=args.batch,
+        symbol_words=args.symbol_words,
+        channel=ChannelConfig(kind=args.channel, per=0.0),
+        decoder=DecoderConfig(
+            kind=args.decoder,
+            max_iters=args.max_iters,
+            peel_iters=args.peel_iters,
+            emax=args.emax,
+            early_stop_k=args.early_stop_k,
+        ),
+        seed=args.seed,
+    )
+    pers = [float(p) for p in args.pers.split(",")]
+    points = run_fer_sweep(
+        code,
+        cfg,
+        pers,
+        target_errors=args.target_errors,
+        max_frames=args.max_frames,
+    )
+    print(format_report(args.code, cfg, points))
+    if args.json:
+        for p in points:
+            print(json.dumps(vars(p)))
+    return 0
+
+
+def cmd_throughput(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from ldpc_erasure_codes_tpu import channel as ch
+    from ldpc_erasure_codes_tpu.codes import get_code
+    from ldpc_erasure_codes_tpu.ops import device_arrays, encode_packed, peel_decode
+
+    code = get_code(args.code)
+    arrays = device_arrays(code)
+    b, w = args.batch, args.symbol_words
+    key = jax.random.key(0)
+    src = jax.random.bits(key, (b, code.k, w), dtype=jnp.uint32)
+    cw = jax.block_until_ready(encode_packed(arrays, src))
+
+    @jax.jit
+    def step(key, cw):
+        mask = ch.iid_erasures(key, (b, code.n), args.per)
+        recv = ch.apply_erasures(cw, mask)
+        _, erased, _ = peel_decode(
+            arrays, recv, mask, max_iters=args.max_iters, early_stop_k=code.k
+        )
+        return jnp.sum(erased[:, : code.k], dtype=jnp.int32)
+
+    jax.block_until_ready(step(jax.random.fold_in(key, 999), cw))
+    t0 = time.perf_counter()
+    out = None
+    for i in range(args.reps):
+        out = step(jax.random.fold_in(key, i), cw)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = b * args.reps / dt
+    gbps = fps * code.k * 32 * w / 1e9
+    print(
+        json.dumps(
+            {
+                "code": args.code,
+                "per": args.per,
+                "frames_per_sec": round(fps, 1),
+                "info_gbps": round(gbps, 3),
+                "symbol_bits": 32 * w,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_codes(_args) -> int:
+    from ldpc_erasure_codes_tpu.codes import get_code, list_codes
+
+    for name in list_codes():
+        c = get_code(name)
+        print(
+            f"{name}: n={c.n} k={c.k} rate={c.k/c.n:.3f} dmax={c.dmax} "
+            f"gf={c.gf_order} rs=({c.rs_n},{c.rs_k}) "
+            f"triangular={c.is_triangular}"
+        )
+    return 0
+
+
+def cmd_census(args) -> int:
+    from ldpc_erasure_codes_tpu.codes import cycle_census, get_code, load_code
+
+    code = load_code(args.code) if args.code.endswith(".npz") else get_code(args.code)
+    cen = cycle_census(code)
+    n4, n6, n8 = cen.totals()
+    print(
+        f"{code.name}: 4-cycles={n4} 6-cycles={n6} 8-cycles={n8} "
+        f"girth>=8: {cen.girth_at_least_8}"
+    )
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from ldpc_erasure_codes_tpu.codes import (
+        cycle_census,
+        gen_column_wise,
+        gen_row_wise,
+        save_code,
+    )
+
+    prof_c = _parse_profile(args.profile_c)
+    prof_v = _parse_profile(args.profile_v)
+    t0 = time.time()
+    if args.kind == "row":
+        code = gen_row_wise(prof_c, prof_v, seed=args.seed, max_tries=args.max_tries)
+    else:
+        code = gen_column_wise(
+            prof_c,
+            prof_v,
+            systematic=not args.non_systematic,
+            seed=args.seed,
+            max_tries=args.max_tries,
+        )
+    cen = cycle_census(code)
+    print(
+        f"built {code.name} in {time.time()-t0:.1f}s; census 4/6/8 = "
+        f"{cen.totals()}; triangular={code.is_triangular}"
+    )
+    if args.out:
+        save_code(code, args.out)
+        print(f"saved to {args.out}")
+    return 0
+
+
+def cmd_golden(args) -> int:
+    from ldpc_erasure_codes_tpu.codes import get_code
+    from ldpc_erasure_codes_tpu.utils.golden import generate_golden, verify_golden
+
+    code = get_code(args.code)
+    gs = generate_golden(
+        code, args.dir, frames=args.frames, per=args.per, seed=args.seed
+    )
+    print(f"wrote {gs.frames} golden frames to {gs.directory}")
+    passed, report = verify_golden(code, args.dir, words=args.symbol_words)
+    print(report)
+    return 0 if passed else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ldpc_erasure_codes_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("sim", help="FER sweep")
+    ps.add_argument("--code", default="n2000_k1000")
+    ps.add_argument("--decoder", default="hybrid", choices=["peel", "hybrid", "ml"])
+    ps.add_argument("--gf", type=int, default=2, choices=[2, 256])
+    ps.add_argument("--pers", default="0.3,0.35", help="comma-separated PERs")
+    ps.add_argument("--channel", default="iid", choices=["iid", "per64", "gilbert_elliott"])
+    ps.add_argument("--batch", type=int, default=512)
+    ps.add_argument("--symbol-words", type=int, default=0)
+    ps.add_argument("--max-iters", type=int, default=50)
+    ps.add_argument("--peel-iters", type=int, default=10)
+    ps.add_argument("--emax", type=int, default=128)
+    ps.add_argument("--early-stop-k", action="store_true")
+    ps.add_argument("--target-errors", type=int, default=100)
+    ps.add_argument("--max-frames", type=int, default=1_000_000)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--json", action="store_true")
+    ps.set_defaults(fn=cmd_sim)
+
+    pt = sub.add_parser("throughput", help="decoder throughput")
+    pt.add_argument("--code", default="n2040_k1530")
+    pt.add_argument("--per", type=float, default=0.1406)
+    pt.add_argument("--batch", type=int, default=64)
+    pt.add_argument("--symbol-words", type=int, default=256)
+    pt.add_argument("--max-iters", type=int, default=50)
+    pt.add_argument("--reps", type=int, default=20)
+    pt.set_defaults(fn=cmd_throughput)
+
+    pc = sub.add_parser("codes", help="list registry codes")
+    pc.set_defaults(fn=cmd_codes)
+
+    pn = sub.add_parser("census", help="cycle census")
+    pn.add_argument("--code", default="n2000_k1000")
+    pn.set_defaults(fn=cmd_census)
+
+    pg = sub.add_parser("gen", help="construct a girth-8 code")
+    pg.add_argument("--kind", default="row", choices=["row", "col"])
+    pg.add_argument("--profile-c", required=True, help="e.g. 102x6")
+    pg.add_argument("--profile-v", required=True, help="e.g. 204x3")
+    pg.add_argument("--non-systematic", action="store_true")
+    pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--max-tries", type=int, default=200)
+    pg.add_argument("--out", default="")
+    pg.set_defaults(fn=cmd_gen)
+
+    pv = sub.add_parser("golden", help="golden-vector generate + verify")
+    pv.add_argument("--code", default="n2000_k1000")
+    pv.add_argument("--dir", required=True)
+    pv.add_argument("--frames", type=int, default=4)
+    pv.add_argument("--per", type=float, default=0.2)
+    pv.add_argument("--symbol-words", type=int, default=8)
+    pv.add_argument("--seed", type=int, default=0)
+    pv.set_defaults(fn=cmd_golden)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
