@@ -68,6 +68,70 @@ def _syndrome_known(
 
 
 @functools.partial(jax.jit, static_argnames=("emax", "gf_order"))
+def ge_rank_check(
+    arrays: CodeArrays,
+    erased: jax.Array,
+    *,
+    emax: int,
+    gf_order: int = 2,
+) -> jax.Array:
+    """Pattern-only solvability: would Gauss-Jordan on the residual succeed?
+
+    Runs the same pivot loop as :func:`ge_solve` on the erased-column matrix
+    alone (no right-hand side, no value updates) — solvability depends only
+    on the erasure pattern (and, over GF(256), on the fixed H coefficients),
+    never on the transmitted values.
+
+    Returns ``failed`` (B,) bool (rank-deficient or bucket overflow).
+    """
+    b, n = erased.shape
+    m = arrays.h.shape[0]
+    er_idx, real, nreal = erased_indices(erased, emax)
+    overflow = nreal > emax
+
+    h_src = arrays.h_nb if gf_order == 256 else arrays.h.astype(jnp.uint8)
+    a_top = jnp.take(h_src, er_idx, axis=1)
+    a_top = jnp.transpose(a_top, (1, 0, 2)) * real[:, None, :].astype(jnp.uint8)
+    eye = jnp.eye(emax, dtype=jnp.uint8)[None] * (~real)[:, None, :].astype(jnp.uint8)
+    a = jnp.concatenate([a_top, eye], axis=1)  # (B, M, emax)
+    mm = m + emax
+    row_iota = jnp.arange(mm, dtype=jnp.int32)[None, :]
+
+    def step(col, carry):
+        a, failed = carry
+        colv = jax.lax.dynamic_index_in_dim(a, col, axis=2, keepdims=False)
+        cand = (colv != 0) & (row_iota >= col)
+        has = jnp.any(cand, axis=1)
+        piv = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        piv = jnp.where(has, piv, col)
+        is_piv = row_iota == piv[:, None]
+        is_col = row_iota == col
+        row_piv = jnp.take_along_axis(a, piv[:, None, None], axis=1)
+        row_col = jax.lax.dynamic_slice_in_dim(a, col, 1, axis=1)
+        a = jnp.where(is_piv[:, :, None], row_col, a)
+        a = jnp.where(is_col[:, :, None], row_piv, a)
+        prow = jax.lax.dynamic_slice_in_dim(a, col, 1, axis=1)
+        if gf_order == 256:
+            pivot_el = jax.lax.dynamic_index_in_dim(
+                prow[:, 0, :], col, axis=1, keepdims=False
+            )
+            prow = gf.gf_mul(gf.gf_inv(pivot_el)[:, None, None], prow)
+            a = jnp.where(is_col[:, :, None], prow, a)
+            colv2 = jax.lax.dynamic_index_in_dim(a, col, axis=2, keepdims=False)
+            factor = jnp.where((row_iota != col) & has[:, None], colv2, 0)
+            a = a ^ gf.gf_mul(factor[:, :, None], prow)
+        else:
+            colv2 = jax.lax.dynamic_index_in_dim(a, col, axis=2, keepdims=False)
+            elim = ((colv2 != 0) & (row_iota != col) & has[:, None]).astype(jnp.uint8)
+            a = a ^ elim[:, :, None] * prow
+        failed = failed | (~has & (col < nreal))
+        return a, failed
+
+    _, failed = jax.lax.fori_loop(0, emax, step, (a, overflow))
+    return failed
+
+
+@functools.partial(jax.jit, static_argnames=("emax", "gf_order"))
 def ge_solve(
     arrays: CodeArrays,
     values: jax.Array,

@@ -16,12 +16,14 @@ import jax
 import jax.numpy as jnp
 
 from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
+from ldpc_erasure_codes_tpu.ops.compact import compact_ge_solve
 from ldpc_erasure_codes_tpu.ops.ge import ge_solve
 from ldpc_erasure_codes_tpu.ops.peel import peel_decode
 
 
 @functools.partial(
-    jax.jit, static_argnames=("gf_order", "peel_iters", "emax", "impl")
+    jax.jit,
+    static_argnames=("gf_order", "peel_iters", "emax", "impl", "ge_subbatch"),
 )
 def hybrid_decode(
     arrays: CodeArrays,
@@ -32,12 +34,17 @@ def hybrid_decode(
     peel_iters: int = 10,
     emax: int = 128,
     impl: str = "gather",
+    ge_subbatch: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Peel up to ``peel_iters`` sweeps, then GE-solve the residual.
 
     The reference runs 10 peeling iterations before falling back
     (My_LDPC_HybridML_Erasure_Decoder.m:9). ``emax`` buckets the residual GE
     width; codewords whose residual exceeds it are flagged failed.
+    ``ge_subbatch`` > 0 additionally compacts the frames that still hold
+    erasures into a bucket of that size before the elimination (overflow →
+    failed) — the production setting at low FER, where stopping sets are
+    rare.
 
     Returns (values, erased, iters, failed).
     """
@@ -48,6 +55,10 @@ def hybrid_decode(
 
     def with_ge(args):
         v, e = args
+        if ge_subbatch > 0:
+            return compact_ge_solve(
+                arrays, v, e, emax=emax, f_max=ge_subbatch, gf_order=gf_order
+            )
         return ge_solve(arrays, v, e, emax=emax, gf_order=gf_order)
 
     def without_ge(args):

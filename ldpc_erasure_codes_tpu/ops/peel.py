@@ -215,6 +215,63 @@ def peel_decode(
     return final.values, final.erased, iters
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "early_stop_k")
+)
+def peel_decode_mask(
+    arrays: CodeArrays,
+    erased: jax.Array,
+    *,
+    max_iters: int = 50,
+    early_stop_k: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Pattern-only peeling: evolve just the erasure mask, no symbol values.
+
+    Whether peeling succeeds depends only on the erasure pattern, never on
+    the transmitted values — the same structural fact the reference exploits
+    to score RS without an RS decoder (paper tex:220,
+    decoder_perf_tests.cl:74-81). Two int8 MXU matmuls per sweep: erased
+    neighbor counts per check, then a degree-1-check scatter. Used by the
+    FER simulation fast path; value decoding uses :func:`peel_decode`.
+
+    Returns (residual mask, per-codeword finish iterations).
+    """
+
+    def done_mask(er):
+        if early_stop_k is not None:
+            er = er[:, :early_stop_k]
+        return ~jnp.any(er, axis=1)
+
+    def cond(s):
+        erased, iters, it, prev = s
+        unresolved = jnp.sum(erased, dtype=jnp.int32)
+        return (it < max_iters) & jnp.any(~done_mask(erased)) & (unresolved < prev)
+
+    def body(s):
+        erased, iters, it, _ = s
+        prev = jnp.sum(erased, dtype=jnp.int32)
+        cnt = gf.int_matmul(erased.astype(jnp.int8), arrays.h_t)  # (B, m)
+        deg1 = (cnt == 1).astype(jnp.int8)
+        nsolv = gf.int_matmul(deg1, arrays.h)  # (B, n)
+        erased = erased & ~(nsolv > 0)
+        it = it + 1
+        newly = done_mask(erased) & (iters == 0)
+        iters = jnp.where(newly, it, iters)
+        return erased, iters, it, prev
+
+    b = erased.shape[0]
+    init = (
+        erased,
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((), jnp.int32),
+        jnp.iinfo(jnp.int32).max * jnp.ones((), jnp.int32),
+    )
+    erased_f, iters, _, _ = jax.lax.while_loop(cond, body, init)
+    iters = jnp.where(iters == 0, jnp.int32(max_iters), iters)
+    iters = jnp.where(done_mask(erased), jnp.int32(1), iters)
+    return erased_f, iters
+
+
 def peel_decode_with_history(
     arrays: CodeArrays,
     values: jax.Array,

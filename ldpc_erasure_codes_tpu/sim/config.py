@@ -52,6 +52,7 @@ class DecoderConfig:
     emax: int = 128  # residual-GE column bucket
     impl: str = "gather"  # "gather" | "matmul" peeling step
     early_stop_k: bool = False  # FPGA first-k-known early exit
+    ge_subbatch: int = 0  # >0: compact residual frames into this bucket for GE
 
     def __post_init__(self):
         if self.kind not in ("peel", "hybrid", "ml"):
@@ -76,6 +77,17 @@ class SimConfig:
     channel: ChannelConfig = dataclasses.field(default_factory=ChannelConfig)
     decoder: DecoderConfig = dataclasses.field(default_factory=DecoderConfig)
     seed: int = 0
+    # Pattern-only fast path: FER statistics depend only on erasure patterns
+    # (peeling progress and GE rank are value-independent), so the encoder
+    # and all symbol values can be skipped — the same structural fact behind
+    # the reference's decoder-free RS scoring (paper tex:220). Set False for
+    # FER sweeps; keep True to exercise the full value-decoding path.
+    track_values: bool = True
+    # Batches simulated per device dispatch (lax.scan on device, stats summed
+    # there). Amortizes host->device launch latency — essential when the
+    # device sits behind a network tunnel; the host loop then checks the
+    # error-count stopping rule every `steps_per_call` batches.
+    steps_per_call: int = 1
 
     def __post_init__(self):
         if self.gf_order not in (2, 256):

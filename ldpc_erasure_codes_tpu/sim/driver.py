@@ -31,9 +31,10 @@ from ldpc_erasure_codes_tpu.ops import (
     encode_nb,
     encode_packed,
 )
-from ldpc_erasure_codes_tpu.ops.ge import ge_solve
+from ldpc_erasure_codes_tpu.ops.compact import compact_ge_rank
+from ldpc_erasure_codes_tpu.ops.ge import ge_rank_check, ge_solve
 from ldpc_erasure_codes_tpu.ops.hybrid import hybrid_decode
-from ldpc_erasure_codes_tpu.ops.peel import peel_decode
+from ldpc_erasure_codes_tpu.ops.peel import peel_decode, peel_decode_mask
 from ldpc_erasure_codes_tpu.parallel import default_mesh, shard_sim_step
 from ldpc_erasure_codes_tpu.sim.config import SimConfig
 from ldpc_erasure_codes_tpu.sim.stats import Accumulator, SimStats, batch_stats
@@ -104,12 +105,48 @@ def _decode(
             peel_iters=d.peel_iters,
             emax=d.emax,
             impl=d.impl,
+            ge_subbatch=d.ge_subbatch,
         )
         return v, e, iters, failed
     v, e, failed = ge_solve(
         arrays, values, erased, emax=d.emax, gf_order=cfg.gf_order
     )
     return v, e, jnp.zeros(erased.shape[0], jnp.int32), failed
+
+
+def _decode_mask(arrays: CodeArrays, cfg: SimConfig, erased: jax.Array, k: int):
+    """Pattern-only decode: residual mask + iterations + GE-failure flag."""
+    d = cfg.decoder
+    early = k if d.early_stop_k else None
+    if d.kind == "peel":
+        e, iters = peel_decode_mask(
+            arrays, erased, max_iters=d.max_iters, early_stop_k=early
+        )
+        return e, iters, None
+    if d.kind == "hybrid":
+        # Peel to convergence before the rank check: ML solvability is
+        # invariant to how much peeling precedes the elimination (peeling is
+        # partial elimination of the same system), so this gives the same
+        # FER as the reference's peel-10-then-GE at a far smaller residual.
+        e, iters = peel_decode_mask(arrays, erased, max_iters=d.max_iters)
+
+        def rank(er):
+            if d.ge_subbatch > 0:
+                return compact_ge_rank(
+                    arrays, er, emax=d.emax, f_max=d.ge_subbatch,
+                    gf_order=cfg.gf_order,
+                )
+            return ge_rank_check(arrays, er, emax=d.emax, gf_order=cfg.gf_order)
+
+        failed = jax.lax.cond(
+            jnp.any(e),
+            rank,
+            lambda er: jnp.zeros(er.shape[0], bool),
+            e,
+        )
+        return e & failed[:, None], iters, failed
+    failed = ge_rank_check(arrays, erased, emax=d.emax, gf_order=cfg.gf_order)
+    return erased & failed[:, None], jnp.zeros(erased.shape[0], jnp.int32), failed
 
 
 def make_sim_step(
@@ -129,17 +166,35 @@ def make_sim_step(
     rs_n, rs_k = code.rs_n, code.rs_k
     max_hist = cfg.decoder.max_iters if cfg.decoder.kind == "peel" else cfg.decoder.peel_iters
 
-    @jax.jit
-    def step(key: jax.Array, per: jax.Array) -> SimStats:
+    def step_once(key: jax.Array, per: jax.Array) -> SimStats:
         k_src, k_ch = jax.random.split(key)
-        source = _draw_source(k_src, cfg, k)
-        cw = _encode(arrays, cfg, source)
         mask = _erasure_mask(k_ch, cfg, n, per)
-        recv = ch.apply_erasures(cw, mask)
-        _, e_out, iters, failed = _decode(arrays, cfg, recv, mask, k)
+        if cfg.track_values:
+            source = _draw_source(k_src, cfg, k)
+            cw = _encode(arrays, cfg, source)
+            recv = ch.apply_erasures(cw, mask)
+            _, e_out, iters, failed = _decode(arrays, cfg, recv, mask, k)
+        else:
+            e_out, iters, failed = _decode_mask(arrays, cfg, mask, k)
         return batch_stats(
             mask, e_out, iters, failed, k, rs_n, rs_k, max_hist
         )
+
+    if cfg.steps_per_call <= 1:
+        return jax.jit(step_once)
+
+    @jax.jit
+    def step(key: jax.Array, per: jax.Array) -> SimStats:
+        def body(acc, i):
+            s = step_once(jax.random.fold_in(key, i), per)
+            return jax.tree.map(jnp.add, acc, s), None
+
+        shapes = jax.eval_shape(step_once, key, per)
+        zero = jax.tree.map(lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes)
+        acc, _ = jax.lax.scan(
+            body, zero, jnp.arange(cfg.steps_per_call, dtype=jnp.uint32)
+        )
+        return acc
 
     return step
 

@@ -20,7 +20,8 @@ class SimStats(NamedTuple):
 
     frames: jax.Array  # () int32
     block_errors: jax.Array  # () int32 — residual erasure among first k
-    rs_block_errors: jax.Array  # () int32 — analytic MDS windowed comparison
+    rs_block_errors: jax.Array  # () int32 — failing RS windows (per window!)
+    rs_blocks: jax.Array  # () int32 — RS windows scored (frames * n/rs_n)
     ml_failed: jax.Array  # () int32 — singular/overflow GE frames
     erased_symbols: jax.Array  # () int32 — channel erasures (measured PER)
     residual_erasures: jax.Array  # () int32 — erasures left after decode
@@ -46,16 +47,22 @@ def batch_stats(
     RS comparison needs no RS decoder: by the MDS property a rate-matched
     RS(rs_n, rs_k) block fails iff its window holds more than rs_n - rs_k
     erasures (paper Latex/Milcom_2022_ErasureCodes.tex:220; inline comparison
-    at decoder_perf_tests.cl:64-81 and MessagePassingAlgSim.m:199-205).
+    at decoder_perf_tests.cl:64-81). Errors are counted and normalized *per
+    RS window*, matching the reference's accounting
+    (MessagePassingAlgSim.m:199-205, :240 — P_block_RS divides by
+    ceil(n/n_RS)*trials).
     """
     b, n = erased_in.shape
     blk = jnp.any(erased_out[:, :k], axis=1)
     if rs_n > 0 and n % rs_n == 0:
-        wins = erased_in.reshape(b, n // rs_n, rs_n)
+        nwin = n // rs_n
+        wins = erased_in.reshape(b, nwin, rs_n)
         cnt = jnp.sum(wins, axis=2, dtype=jnp.int32)
-        rs_blk = jnp.any(cnt > (rs_n - rs_k), axis=1)
+        rs_errs = jnp.sum(cnt > (rs_n - rs_k), dtype=jnp.int32)
+        rs_blocks = jnp.int32(b * nwin)
     else:
-        rs_blk = jnp.zeros((b,), dtype=bool)
+        rs_errs = jnp.int32(0)
+        rs_blocks = jnp.int32(0)
     hist = jnp.zeros((max_iters + 1,), jnp.int32).at[
         jnp.clip(iters, 0, max_iters)
     ].add(1)
@@ -65,7 +72,8 @@ def batch_stats(
     return SimStats(
         frames=jnp.int32(b),
         block_errors=jnp.sum(blk, dtype=jnp.int32),
-        rs_block_errors=jnp.sum(rs_blk, dtype=jnp.int32),
+        rs_block_errors=rs_errs,
+        rs_blocks=rs_blocks,
         ml_failed=nfail,
         erased_symbols=jnp.sum(erased_in, dtype=jnp.int32),
         residual_erasures=jnp.sum(erased_out, dtype=jnp.int32),
@@ -80,6 +88,7 @@ class Accumulator:
     frames: int = 0
     block_errors: int = 0
     rs_block_errors: int = 0
+    rs_blocks: int = 0
     ml_failed: int = 0
     erased_symbols: int = 0
     residual_erasures: int = 0
@@ -89,6 +98,7 @@ class Accumulator:
         self.frames += int(s.frames)
         self.block_errors += int(s.block_errors)
         self.rs_block_errors += int(s.rs_block_errors)
+        self.rs_blocks += int(s.rs_blocks)
         self.ml_failed += int(s.ml_failed)
         self.erased_symbols += int(s.erased_symbols)
         self.residual_erasures += int(s.residual_erasures)
@@ -104,7 +114,8 @@ class Accumulator:
 
     @property
     def rs_fer(self) -> float:
-        return self.rs_block_errors / max(self.frames, 1)
+        """Per-RS-window block error rate (the reference's normalization)."""
+        return self.rs_block_errors / max(self.rs_blocks, 1)
 
     @property
     def mean_iters(self) -> float:

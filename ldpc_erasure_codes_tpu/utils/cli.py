@@ -58,6 +58,8 @@ def cmd_sim(args) -> int:
             early_stop_k=args.early_stop_k,
         ),
         seed=args.seed,
+        track_values=not args.pattern_only,
+        steps_per_call=args.steps_per_call,
     )
     pers = [float(p) for p in args.pers.split(",")]
     points = run_fer_sweep(
@@ -213,6 +215,17 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--max-frames", type=int, default=1_000_000)
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--json", action="store_true")
+    ps.add_argument(
+        "--pattern-only",
+        action="store_true",
+        help="FER fast path: evolve erasure patterns only, skip symbol values",
+    )
+    ps.add_argument(
+        "--steps-per-call",
+        type=int,
+        default=8,
+        help="batches per device dispatch (amortizes launch latency)",
+    )
     ps.set_defaults(fn=cmd_sim)
 
     pt = sub.add_parser("throughput", help="decoder throughput")
