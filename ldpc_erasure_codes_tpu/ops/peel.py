@@ -138,7 +138,7 @@ def peel_step_matmul(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gf_order", "max_iters", "early_stop_k", "impl"),
+    static_argnames=("gf_order", "max_iters", "early_stop_k", "impl", "worklist_size"),
 )
 def peel_decode(
     arrays: CodeArrays,
@@ -149,6 +149,7 @@ def peel_decode(
     max_iters: int = 50,
     early_stop_k: int | None = None,
     impl: str = "gather",
+    worklist_size: int = 128,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Iterative peeling decode of a codeword batch.
 
@@ -161,7 +162,9 @@ def peel_decode(
         My_LDPC_Erasure_Decoder.m:10, My_LDPC_HybridML_Erasure_Decoder.m:9).
       early_stop_k: when set, a codeword counts as done once its first k
         symbols are known (FPGA semantics, decoder_perf_tests.cl:205-210).
-      impl: "gather" or "matmul" (binary scalar only).
+      impl: "gather" (dense neighbor sweeps), "matmul" (binary scalar only),
+        or "worklist" (compacted degree-1 sweeps — the fast path for wide
+        symbols; ``worklist_size`` bounds solves per sweep per codeword).
 
     Returns:
       (values, erased, iters) — iters (B,) is the iteration at which each
@@ -187,6 +190,10 @@ def peel_decode(
     def body(s: PeelState):
         if impl == "matmul":
             values, erased = peel_step_matmul(arrays, s.values, s.erased)
+        elif impl == "worklist":
+            values, erased = peel_step_worklist(
+                arrays, s.values, s.erased, gf_order, worklist_size
+            )
         else:
             values, erased = peel_step_gather(arrays, s.values, s.erased, gf_order)
         it = s.it + 1
@@ -213,6 +220,76 @@ def peel_decode(
     # to match the reference's accounting (the while loop always runs once).
     iters = jnp.where(done_mask(erased), jnp.int32(1), iters)
     return final.values, final.erased, iters
+
+
+def peel_step_worklist(
+    arrays: CodeArrays,
+    values: jax.Array,
+    erased: jax.Array,
+    gf_order: int,
+    worklist: int,
+) -> tuple[jax.Array, jax.Array]:
+    """One peeling sweep over a compacted degree-1-check work list.
+
+    The dense sweep (`peel_step_gather`) XOR-reduces every check's neighbors
+    across all W lanes even though only degree-1 checks produce a solution
+    and only their single erased neighbor gets written. This sweep computes
+    check degrees on the mask alone (int8 MXU matmul), compacts up to
+    ``worklist`` degree-1 checks per codeword (argsort), and runs the wide
+    gather-XOR/scatter only for those. Wide-lane traffic drops from
+    O(m·dmax·W) per sweep to O(worklist·dmax·W), and total wide work across
+    a decode approaches the information-theoretic minimum of one neighbor
+    MAC per solved erasure.
+
+    Degree-1 checks beyond the work-list bound wait for the next sweep —
+    the fixed point is unchanged (another schedule variant, like the FPGA's
+    2-way split, decoder_perf_tests.cl:95-203); only iteration counts shift
+    when the bound binds.
+
+    Measured note (TPU v5e, (2040,1530), W=256, PER .1406): this path is
+    ~4.5x SLOWER than ``peel_step_gather`` despite touching ~4x less data —
+    the data-dependent (argsort-derived) gather/scatter indices defeat XLA's
+    constant-topology gather lowering, which already streams only the real
+    edges. Retained as the reference implementation of work-list scheduling
+    (and the starting point for a scalar-prefetch Pallas kernel); production
+    decode uses ``impl="gather"``.
+    """
+    wide = values.ndim == 3
+    b, n = erased.shape
+    cnt = gf.int_matmul(erased.astype(jnp.int8), arrays.h_t)  # (B, m)
+    deg1 = cnt == 1
+    order = jnp.argsort(~deg1, axis=1, stable=True).astype(jnp.int32)[:, :worklist]
+    valid = jnp.take_along_axis(deg1, order, axis=1)  # (B, A)
+    idx_nb = arrays.vlist_idx[order]  # (B, A, dmax), pad = n
+
+    values_p = _pad_n(values, 1)
+    erased_p = _pad_n(erased, 1)
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None, None]
+    yv = values_p[bidx, idx_nb]  # (B, A, dmax[, W])
+    ev = erased_p[jnp.arange(b)[:, None, None], idx_nb]  # (B, A, dmax)
+
+    if gf_order == 2:
+        val = _xor_reduce(yv, axis=2)  # (B, A[, W])
+    else:
+        coeff = arrays.vlist_val[order]  # (B, A, dmax)
+        cc = coeff[..., None] if wide else coeff
+        val = _xor_reduce(gf.gf_mul(cc, yv), axis=2)
+        inv_sel = jnp.where(ev, arrays.vlist_inv_val[order], jnp.uint8(0))
+        coef_inv = _xor_reduce(inv_sel, axis=2)  # (B, A)
+        val = gf.gf_mul(val, coef_inv[..., None] if wide else coef_inv)
+
+    # The degree-1 check's single erased neighbor is the write target.
+    target = jnp.sum(jnp.where(ev, idx_nb, 0), axis=2, dtype=jnp.int32)
+    safe_target = jnp.where(valid, target, n)  # invalid slots hit the pad
+    bi2 = jnp.arange(b, dtype=jnp.int32)[:, None]
+    vmask = valid[..., None] if wide else valid
+    # Write targets are erased slots, which hold zero by invariant, and
+    # invalid slots land on the pad column — a plain masked set suffices.
+    values_p = values_p.at[bi2, safe_target].set(
+        jnp.where(vmask, val, jnp.zeros((), val.dtype))
+    )
+    erased_p = erased_p.at[bi2, safe_target].set(False)
+    return values_p[:, :n], erased_p[:, :n]
 
 
 @functools.partial(

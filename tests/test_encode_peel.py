@@ -180,3 +180,56 @@ class TestPeelDecode:
         # residual counts are non-increasing and end at the final residual
         assert np.all(np.diff(hist, axis=1) <= 0)
         assert np.array_equal(hist[:, -1], np.asarray(erased).sum(1))
+
+
+class TestWorklistImpl:
+    """Work-list peeling must reach the gather impl's fixed point exactly."""
+
+    def test_worklist_matches_gather_wide(self):
+        import jax, jax.numpy as jnp
+        from ldpc_erasure_codes_tpu import channel as ch
+        from ldpc_erasure_codes_tpu.codes import get_code
+        from ldpc_erasure_codes_tpu.ops import (
+            device_arrays,
+            encode_packed,
+            peel_decode,
+        )
+
+        code = get_code("n2040_k1530")
+        arrays = device_arrays(code)
+        key = jax.random.key(0)
+        src = jax.random.bits(key, (4, code.k, 2), dtype=jnp.uint32)
+        cw = encode_packed(arrays, src)
+        mask = ch.iid_erasures(jax.random.key(1), (4, code.n), 0.16)
+        recv = ch.apply_erasures(cw, mask)
+        vg, eg, _ = peel_decode(arrays, recv, mask, impl="gather")
+        for wl in (16, 128):
+            vw, ew, _ = peel_decode(
+                arrays, recv, mask, impl="worklist", worklist_size=wl
+            )
+            np.testing.assert_array_equal(np.asarray(ew), np.asarray(eg))
+            np.testing.assert_array_equal(np.asarray(vw), np.asarray(vg))
+
+    def test_worklist_matches_gather_nb(self):
+        import jax, jax.numpy as jnp
+        from ldpc_erasure_codes_tpu import channel as ch
+        from ldpc_erasure_codes_tpu.codes import toy_code
+        from ldpc_erasure_codes_tpu.ops import (
+            device_arrays,
+            encode_nb,
+            peel_decode,
+        )
+
+        code = toy_code(n=60, k=36, seed=2, gf_order=256)
+        arrays = device_arrays(code)
+        key = jax.random.key(3)
+        src = jax.random.bits(key, (8, code.k), dtype=jnp.uint8)
+        cw = encode_nb(arrays, src)
+        mask = ch.iid_erasures(jax.random.key(4), (8, code.n), 0.15)
+        recv = ch.apply_erasures(cw, mask)
+        vg, eg, _ = peel_decode(arrays, recv, mask, gf_order=256, impl="gather")
+        vw, ew, _ = peel_decode(
+            arrays, recv, mask, gf_order=256, impl="worklist", worklist_size=24
+        )
+        np.testing.assert_array_equal(np.asarray(vw), np.asarray(vg))
+        np.testing.assert_array_equal(np.asarray(ew), np.asarray(eg))
