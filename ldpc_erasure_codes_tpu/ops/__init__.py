@@ -10,6 +10,7 @@ from ldpc_erasure_codes_tpu.ops.encode import (
     encode_wide,
 )
 from ldpc_erasure_codes_tpu.ops.ge import ge_rank_check, ge_solve
+from ldpc_erasure_codes_tpu.ops.pallas_channel import channel_apply_per64
 from ldpc_erasure_codes_tpu.ops.hybrid import hybrid_decode
 from ldpc_erasure_codes_tpu.ops.peel import (
     peel_decode,
@@ -21,6 +22,7 @@ from ldpc_erasure_codes_tpu.ops.peel import (
 
 __all__ = [
     "CodeArrays",
+    "channel_apply_per64",
     "compact_ge_rank",
     "compact_ge_solve",
     "device_arrays",

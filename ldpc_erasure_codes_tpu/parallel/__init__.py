@@ -16,11 +16,13 @@ from ldpc_erasure_codes_tpu.parallel.mesh import (
     make_mesh,
     shard_sim_step,
 )
+from ldpc_erasure_codes_tpu.parallel import multihost
 
 __all__ = [
     "BATCH_AXIS",
     "LANE_AXIS",
     "default_mesh",
     "make_mesh",
+    "multihost",
     "shard_sim_step",
 ]

@@ -123,6 +123,57 @@ def cmd_throughput(args) -> int:
     return 0
 
 
+def cmd_plot(args) -> int:
+    """FER curve sweep -> semilogy PNG (MPA vs hybrid vs analytic RS)."""
+    from ldpc_erasure_codes_tpu.codes import get_code
+    from ldpc_erasure_codes_tpu.sim import (
+        DecoderConfig,
+        SimConfig,
+        format_report,
+        run_fer_sweep,
+    )
+    from ldpc_erasure_codes_tpu.sim.plot import plot_fer_curves
+
+    code = get_code(args.code)
+    pers = [float(p) for p in args.pers.split(",")]
+    common = dict(
+        code=args.code,
+        batch=args.batch,
+        track_values=False,
+        steps_per_call=args.steps_per_call,
+    )
+    peel_cfg = SimConfig(
+        **common,
+        decoder=DecoderConfig(kind="peel", max_iters=50, early_stop_k=True),
+    )
+    peel_pts = run_fer_sweep(
+        code, peel_cfg, pers,
+        target_errors=args.target_errors, max_frames=args.max_frames,
+    )
+    print(format_report(f"{args.code} MPA", peel_cfg, peel_pts), flush=True)
+    hyb_cfg = SimConfig(
+        **common,
+        decoder=DecoderConfig(
+            kind="hybrid", max_iters=50, emax=args.emax, ge_subbatch=args.batch // 8
+        ),
+    )
+    hyb_pts = run_fer_sweep(
+        code, hyb_cfg, pers,
+        target_errors=args.target_errors, max_frames=args.max_frames,
+    )
+    print(format_report(f"{args.code} hybrid", hyb_cfg, hyb_pts), flush=True)
+    rs = (code.rs_n, code.rs_k) if code.rs_n else None
+    plot_fer_curves(
+        peel_pts,
+        title=f"{args.code}: FER vs raw erasure rate",
+        rs_analytic=rs,
+        extra_series={"LDPC hybrid MPA+ML": hyb_pts},
+        out_path=args.out,
+    )
+    print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_codes(_args) -> int:
     from ldpc_erasure_codes_tpu.codes import get_code, list_codes
 
@@ -239,6 +290,17 @@ def main(argv: list[str] | None = None) -> int:
 
     pc = sub.add_parser("codes", help="list registry codes")
     pc.set_defaults(fn=cmd_codes)
+
+    pp = sub.add_parser("plot", help="FER curve sweep -> PNG")
+    pp.add_argument("--code", default="n2040_k1530")
+    pp.add_argument("--pers", default="0.1406,0.1562,0.1719,0.1875,0.2031")
+    pp.add_argument("--batch", type=int, default=4096)
+    pp.add_argument("--steps-per-call", type=int, default=16)
+    pp.add_argument("--target-errors", type=int, default=100)
+    pp.add_argument("--max-frames", type=int, default=1_000_000)
+    pp.add_argument("--emax", type=int, default=256)
+    pp.add_argument("--out", default="fer_curve.png")
+    pp.set_defaults(fn=cmd_plot)
 
     pn = sub.add_parser("census", help="cycle census")
     pn.add_argument("--code", default="n2000_k1000")
