@@ -73,6 +73,10 @@ class _Graph:
         self.var_checks[v].append(c)
         self.check_vars[c].append(v)
 
+    def remove_edge(self, v: int, c: int) -> None:
+        self.var_checks[v].remove(c)
+        self.check_vars[c].remove(v)
+
     def creates_short_cycle(self, v: int, c: int) -> bool:
         """Would edge (v, c) close a cycle of length < 8?
 
@@ -274,6 +278,8 @@ def gen_row_wise(
     max_tries: int = 200,
     strict_tries: int = 10,
     relax_tail: float = 0.997,
+    backtrack_depth: int = 4,
+    backtrack_budget: int = 400,
     name: str | None = None,
 ) -> LDPCCode:
     """Row-major girth-8 systematic construction.
@@ -296,34 +302,71 @@ def gen_row_wise(
         # Same endgame escape hatch as gen_column_wise: the reference's
         # commented "allow to go over by 1" knob (Hgen_regularDegree...m:79).
         dv = dv0 + 1 if _try >= strict_tries else dv0
+        # Strict attempts fail fast like the reference (their profile may be
+        # infeasible for girth 8); backtracking only arms on slack attempts.
+        budget = backtrack_budget if _try >= strict_tries else 0
         g = _Graph(n, m)
         dv_cur = np.zeros(n, dtype=np.int64)
+        journal: list[list[int]] = []  # per completed row: its random columns
+        backtracks = 0
+        row = 0
         ok = True
-        for row in range(m - 1):
+
+        def fill_row(row: int) -> list[int] | None:
             temp_dv = dv + 1 if (row + 1) / m > relax_tail else dv
             limit = k + row  # columns >= k+row are at/right of the diagonal
-            placed = 0
+            placed: list[int] = []
             tried: set[int] = set()
             want = dc[row] - 1
-            while placed < want:
+            while len(placed) < want:
                 need = temp_dv[:limit] - dv_cur[:limit]
                 cands = np.asarray(
                     [v for v in np.nonzero(need > 0)[0] if v not in tried]
                 )
                 if cands.size == 0:
-                    break
+                    for v in placed:  # undo the partial row
+                        g.remove_edge(v, row)
+                        dv_cur[v] -= 1
+                    return None
                 w = (temp_dv[cands] - dv_cur[cands]) ** 3  # cube law
                 v = _weighted_pick(rng, cands, w)
                 tried.add(v)
                 if not g.creates_short_cycle(v, row):
                     g.add_edge(v, row)
                     dv_cur[v] += 1
-                    placed += 1
-            if placed < want:
-                ok = False
-                break
+                    placed.append(v)
             g.add_edge(k + row, row)  # triangle diagonal
             dv_cur[k + row] += 1
+            return placed
+
+        best_row = 0  # deepest frontier reached since the last escalation reset
+        stuck = 0  # consecutive failures without pushing past best_row
+        while row < m - 1:
+            placed = fill_row(row)
+            if placed is not None:
+                journal.append(placed)
+                row += 1
+                if row > best_row:
+                    best_row = row
+                    stuck = 0
+                continue
+            # Endgame rescue: instead of the reference's whole-matrix restart,
+            # unwind recent rows and redraw them. The rollback depth escalates
+            # exponentially while the frontier fails to advance, so local
+            # traps are escaped instead of cycled in.
+            stuck += 1
+            depth = min(row, backtrack_depth << min(stuck // 3, 8))
+            if depth == 0 or backtracks >= budget:
+                ok = False
+                break
+            backtracks += 1
+            for _ in range(depth):
+                row -= 1
+                for v in journal.pop():
+                    g.remove_edge(v, row)
+                    dv_cur[v] -= 1
+                g.remove_edge(k + row, row)
+                dv_cur[k + row] -= 1
         if ok:
             g.add_edge(n - 1, m - 1)  # closing corner (last column's diagonal)
             _staircase_cleanup(g, k)
