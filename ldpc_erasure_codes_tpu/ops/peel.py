@@ -138,7 +138,9 @@ def peel_step_matmul(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gf_order", "max_iters", "early_stop_k", "impl", "worklist_size"),
+    static_argnames=(
+        "gf_order", "max_iters", "early_stop_k", "impl", "worklist_size", "seq_blocks",
+    ),
 )
 def peel_decode(
     arrays: CodeArrays,
@@ -150,6 +152,7 @@ def peel_decode(
     early_stop_k: int | None = None,
     impl: str = "gather",
     worklist_size: int = 128,
+    seq_blocks: int = 1,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Iterative peeling decode of a codeword batch.
 
@@ -165,6 +168,9 @@ def peel_decode(
       impl: "gather" (dense neighbor sweeps), "matmul" (binary scalar only),
         or "worklist" (compacted degree-1 sweeps — the fast path for wide
         symbols; ``worklist_size`` bounds solves per sweep per codeword).
+      seq_blocks: > 1 splits each iteration into that many *sequential*
+        check-block sweeps (Gauss-Seidel between blocks; == m reproduces the
+        MATLAB reference's schedule and its exact iteration counts).
 
     Returns:
       (values, erased, iters) — iters (B,) is the iteration at which each
@@ -188,7 +194,11 @@ def peel_decode(
         return (s.it < max_iters) & jnp.any(active) & progress
 
     def body(s: PeelState):
-        if impl == "matmul":
+        if seq_blocks > 1:
+            values, erased = peel_step_seq_blocks(
+                arrays, s.values, s.erased, gf_order, seq_blocks
+            )
+        elif impl == "matmul":
             values, erased = peel_step_matmul(arrays, s.values, s.erased)
         elif impl == "worklist":
             values, erased = peel_step_worklist(
@@ -220,6 +230,73 @@ def peel_decode(
     # to match the reference's accounting (the while loop always runs once).
     iters = jnp.where(done_mask(erased), jnp.int32(1), iters)
     return final.values, final.erased, iters
+
+
+def peel_step_seq_blocks(
+    arrays: CodeArrays,
+    values: jax.Array,
+    erased: jax.Array,
+    gf_order: int,
+    seq_blocks: int,
+) -> tuple[jax.Array, jax.Array]:
+    """One iteration as ``seq_blocks`` sequential check-block sweeps.
+
+    Schedule-parity knob: the MATLAB reference sweeps checks *sequentially*
+    within an iteration, so in-sweep updates propagate
+    (My_LDPC_Erasure_Decoder.m:24-37 — Gauss-Seidel); the FPGA's 2-way split
+    runs both halves on the start-of-iteration state and merges (Jacobi,
+    decoder_perf_tests.cl:95-203). This step interpolates: Jacobi within a
+    block, sequential between blocks. ``seq_blocks == m`` reproduces the
+    MATLAB schedule exactly (bit-exact iteration counts vs the oracle);
+    ``seq_blocks == 1`` is the production Jacobi sweep. All schedules peel
+    to the same fixed point.
+    """
+    wide = values.ndim == 3
+    m, dmax = arrays.vlist_idx.shape
+    n = erased.shape[1]
+    mb = -(-m // seq_blocks)
+    pad_rows = seq_blocks * mb - m
+    idx_b = jnp.concatenate(
+        [arrays.vlist_idx, jnp.full((pad_rows, dmax), n, jnp.int32)]
+    ).reshape(seq_blocks, mb, dmax)
+    val_b = jnp.concatenate(
+        [arrays.vlist_val, jnp.zeros((pad_rows, dmax), jnp.uint8)]
+    ).reshape(seq_blocks, mb, dmax)
+    inv_b = jnp.concatenate(
+        [arrays.vlist_inv_val, jnp.zeros((pad_rows, dmax), jnp.uint8)]
+    ).reshape(seq_blocks, mb, dmax)
+
+    values_p = _pad_n(values, 1)
+    erased_p = _pad_n(erased, 1)
+    b = erased.shape[0]
+    bi2 = jnp.arange(b, dtype=jnp.int32)[:, None]
+
+    def block(carry, xs):
+        values_p, erased_p = carry
+        idx, val, inv = xs  # (mb, dmax)
+        yv = jnp.take(values_p, idx, axis=1)  # (B, mb, dmax[, W])
+        ev = jnp.take(erased_p, idx, axis=1)  # (B, mb, dmax)
+        deg1 = jnp.sum(ev, axis=2, dtype=jnp.int32) == 1
+        if gf_order == 2:
+            solved_val = _xor_reduce(yv, axis=2)
+        else:
+            coeff = val[None, :, :, None] if wide else val[None]
+            syn = _xor_reduce(gf.gf_mul(coeff, yv), axis=2)
+            ci = _xor_reduce(jnp.where(ev, inv[None], jnp.uint8(0)), axis=2)
+            solved_val = gf.gf_mul(syn, ci[..., None] if wide else ci)
+        target = jnp.sum(jnp.where(ev, idx[None], 0), axis=2, dtype=jnp.int32)
+        safe_target = jnp.where(deg1, target, n)
+        vmask = deg1[..., None] if wide else deg1
+        values_p = values_p.at[bi2, safe_target].set(
+            jnp.where(vmask, solved_val, jnp.zeros((), solved_val.dtype))
+        )
+        erased_p = erased_p.at[bi2, safe_target].set(False)
+        return (values_p, erased_p), None
+
+    (values_p, erased_p), _ = jax.lax.scan(
+        block, (values_p, erased_p), (idx_b, val_b, inv_b)
+    )
+    return values_p[:, :n], erased_p[:, :n]
 
 
 def peel_step_worklist(

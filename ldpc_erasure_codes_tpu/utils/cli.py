@@ -282,7 +282,7 @@ def main(argv: list[str] | None = None) -> int:
     pt = sub.add_parser("throughput", help="decoder throughput")
     pt.add_argument("--code", default="n2040_k1530")
     pt.add_argument("--per", type=float, default=0.1406)
-    pt.add_argument("--batch", type=int, default=64)
+    pt.add_argument("--batch", type=int, default=512)
     pt.add_argument("--symbol-words", type=int, default=256)
     pt.add_argument("--max-iters", type=int, default=50)
     pt.add_argument("--reps", type=int, default=20)

@@ -233,3 +233,49 @@ class TestWorklistImpl:
         )
         np.testing.assert_array_equal(np.asarray(vw), np.asarray(vg))
         np.testing.assert_array_equal(np.asarray(ew), np.asarray(eg))
+
+
+class TestSeqBlocksSchedule:
+    """seq_blocks=m reproduces the MATLAB Gauss-Seidel schedule bit-exactly
+    (residuals AND iteration counts); every schedule shares the fixed point."""
+
+    def test_matches_oracle_iterations(self):
+        import jax, jax.numpy as jnp
+        from ldpc_erasure_codes_tpu import channel as ch
+        from ldpc_erasure_codes_tpu.codes import get_code
+        from ldpc_erasure_codes_tpu.ops import device_arrays, encode, peel_decode
+
+        code = get_code("n2000_k1000")
+        arrays = device_arrays(code)
+        src = jax.random.bits(jax.random.key(0), (6, code.k), dtype=jnp.uint8) & 1
+        cw = encode(arrays, src)
+        mask = ch.iid_erasures(jax.random.key(1), (6, code.n), 0.35)
+        recv = ch.apply_erasures(cw, mask)
+        v, e, iters = peel_decode(arrays, recv, mask, max_iters=50, seq_blocks=code.m)
+        v, e, iters = map(np.asarray, (v, e, iters))
+        cwn, maskn = np.asarray(cw), np.asarray(mask)
+        for i in range(6):
+            rv = np.where(maskn[i], -1, cwn[i].astype(np.int64))
+            out, it_o = oracle.peel_decode(code, rv, max_iters=50)
+            np.testing.assert_array_equal(e[i], out < 0)
+            assert int(iters[i]) == it_o
+        vj, ej, _ = peel_decode(arrays, recv, mask, max_iters=50)
+        np.testing.assert_array_equal(np.asarray(ej), e)
+        np.testing.assert_array_equal(np.asarray(vj), v)
+
+    def test_two_blocks_nb(self):
+        import jax, jax.numpy as jnp
+        from ldpc_erasure_codes_tpu import channel as ch
+        from ldpc_erasure_codes_tpu.codes import toy_code
+        from ldpc_erasure_codes_tpu.ops import device_arrays, encode_nb, peel_decode
+
+        code = toy_code(n=60, k=36, seed=2, gf_order=256)
+        arrays = device_arrays(code)
+        src = jax.random.bits(jax.random.key(3), (8, code.k), dtype=jnp.uint8)
+        cw = encode_nb(arrays, src)
+        mask = ch.iid_erasures(jax.random.key(4), (8, code.n), 0.15)
+        recv = ch.apply_erasures(cw, mask)
+        vg, eg, _ = peel_decode(arrays, recv, mask, gf_order=256)
+        v2, e2, _ = peel_decode(arrays, recv, mask, gf_order=256, seq_blocks=2)
+        np.testing.assert_array_equal(np.asarray(e2), np.asarray(eg))
+        np.testing.assert_array_equal(np.asarray(v2), np.asarray(vg))
