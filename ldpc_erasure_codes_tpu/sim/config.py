@@ -53,6 +53,12 @@ class DecoderConfig:
     impl: str = "gather"  # "gather" | "matmul" peeling step
     early_stop_k: bool = False  # FPGA first-k-known early exit
     ge_subbatch: int = 0  # >0: compact residual frames into this bucket for GE
+    # Block-error scope: False (default) counts residual erasures among the
+    # first k info symbols (the FPGA's accounting,
+    # decoder_perf_tests.cl:215-228); True counts any residual symbol, the
+    # MATLAB sims' whole-codeword comparison
+    # (LDPCErasureCodes_MessagePassingAlgSim.m:229-236).
+    count_all_symbols: bool = False
 
     def __post_init__(self):
         if self.kind not in ("peel", "hybrid", "ml"):

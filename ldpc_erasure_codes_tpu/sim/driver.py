@@ -177,7 +177,8 @@ def make_sim_step(
         else:
             e_out, iters, failed = _decode_mask(arrays, cfg, mask, k)
         return batch_stats(
-            mask, e_out, iters, failed, k, rs_n, rs_k, max_hist
+            mask, e_out, iters, failed, k, rs_n, rs_k, max_hist,
+            count_all_symbols=cfg.decoder.count_all_symbols,
         )
 
     if cfg.steps_per_call <= 1:

@@ -37,6 +37,7 @@ def batch_stats(
     rs_n: int,
     rs_k: int,
     max_iters: int,
+    count_all_symbols: bool = False,
 ) -> SimStats:
     """Fold one decoded batch into counters.
 
@@ -53,7 +54,8 @@ def batch_stats(
     ceil(n/n_RS)*trials).
     """
     b, n = erased_in.shape
-    blk = jnp.any(erased_out[:, :k], axis=1)
+    scope = erased_out if count_all_symbols else erased_out[:, :k]
+    blk = jnp.any(scope, axis=1)
     if rs_n > 0 and n % rs_n == 0:
         nwin = n // rs_n
         wins = erased_in.reshape(b, nwin, rs_n)

@@ -204,3 +204,18 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(len(jax.devices()))
+
+
+def test_count_all_symbols_scope():
+    """MATLAB-mode block errors (any residual symbol) >= FPGA-mode (first k)."""
+    code = toy_code(n=64, k=40, seed=8)
+    base = dict(code=code.name, batch=256, seed=3, track_values=False)
+    d_k = DecoderConfig(kind="peel", max_iters=3)
+    d_all = DecoderConfig(kind="peel", max_iters=3, count_all_symbols=True)
+    sk = make_sim_step(code, SimConfig(**base, decoder=d_k))
+    sa = make_sim_step(code, SimConfig(**base, decoder=d_all))
+    key = jax.random.key(1)
+    per = jnp.float32(0.25)
+    ek = int(sk(key, per).block_errors)
+    ea = int(sa(key, per).block_errors)
+    assert ea >= ek
