@@ -43,3 +43,28 @@ def test_statistics_on_tpu():
     _, m2 = channel_apply_per64(vals, jnp.int32(7), jnp.int32(16))
     np.testing.assert_array_equal(np.asarray(jax.device_get(m2)), m)
     assert not np.array_equal(m[0], m[1])
+
+
+class TestPallasGE:
+    def test_rank_matches_xla_interpret(self):
+        """VMEM-resident GE rank kernel == XLA ge_rank_check, mixed outcomes."""
+        from ldpc_erasure_codes_tpu import channel as ch
+        from ldpc_erasure_codes_tpu.codes import get_code
+        from ldpc_erasure_codes_tpu.ops import (
+            device_arrays,
+            ge_rank_check,
+            peel_decode_mask,
+        )
+        from ldpc_erasure_codes_tpu.ops.pallas_ge import ge_rank_pallas
+
+        code = get_code("n2040_k1530")
+        arrays = device_arrays(code)
+        mask = ch.iid_erasures(jax.random.key(5), (24, code.n), 0.215)
+        e, _ = peel_decode_mask(arrays, mask, max_iters=50)
+        full = np.asarray(ge_rank_check(arrays, e, emax=192))
+        pal = np.asarray(
+            ge_rank_pallas(arrays, e, emax=192, block=8, interpret=True)
+        )
+        np.testing.assert_array_equal(pal, full)
+        nres = int(np.asarray(jnp.any(e, axis=1)).sum())
+        assert 0 < int(full.sum()) < nres  # both outcomes exercised
