@@ -34,8 +34,8 @@ def main() -> None:
     quick = "--quick" in sys.argv
     code = get_code("n2040_k1530")
     arrays = device_arrays(code)
-    # B=512 is the single-chip sweet spot on v5e (B=1024 exhausts HBM).
-    b = int(os.environ.get("BENCH_BATCH", "16" if quick else "512"))
+    # B=768 is the single-chip sweet spot on v5e (B=1024 exhausts HBM).
+    b = int(os.environ.get("BENCH_BATCH", "16" if quick else "768"))
     w = int(os.environ.get("BENCH_WORDS", "256"))  # 256 x uint32 = 8192 bits = S
     per = float(os.environ.get("BENCH_PER", "0.1406"))
     reps = int(os.environ.get("BENCH_REPS", "5" if quick else "10"))
