@@ -8,6 +8,7 @@ from ldpc_erasure_codes_tpu.ops.encode import (
     encode_packed,
     encode_scan,
     encode_wide,
+    make_packed_encoder,
 )
 from ldpc_erasure_codes_tpu.ops.ge import ge_rank_check, ge_solve
 from ldpc_erasure_codes_tpu.ops.pallas_channel import channel_apply_per64
@@ -34,6 +35,7 @@ __all__ = [
     "ge_rank_check",
     "ge_solve",
     "hybrid_decode",
+    "make_packed_encoder",
     "peel_decode",
     "peel_decode_mask",
     "peel_decode_with_history",

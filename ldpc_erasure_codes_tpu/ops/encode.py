@@ -116,6 +116,57 @@ def encode_packed(
     return jnp.concatenate([source, parity], axis=1)
 
 
+def make_packed_encoder(code) -> "jax.stages.Wrapped":
+    """Level-scheduled packed binary encoder for one code (the fast path).
+
+    The parity back-substitution's dependency DAG is shallow (depth 27 for
+    the (2040,1530) code vs its 510 rows), so parity rows are grouped into
+    dependency *levels* and each level is computed in one parallel
+    gather-XOR step — the sequential axis shrinks from m scan steps to
+    depth unrolled steps. The level schedule is host-side NumPy baked into
+    the jitted closure as compile-time constants, so every gather/scatter
+    keeps the constant-topology lowering XLA optimizes well
+    (docs/DESIGN.md — data-dependent indices measured far slower).
+
+    Bit-identical to :func:`encode_packed` (XOR reassociation only).
+    Returns a jitted ``fn(source (B, k, W) uint) -> (B, n, W)``.
+    """
+    import numpy as np
+
+    from ldpc_erasure_codes_tpu.ops.arrays import _host_arrays
+
+    host = _host_arrays(code)
+    m, k = code.m, code.k
+    src_idx = host["enc_src_idx"]  # (m, dmax) pad k
+    par_idx = host["enc_par_idx"]  # (m, pmax) pad m
+    # Dependency levels over the strictly-lower parity graph.
+    level = np.zeros(m, dtype=np.int64)
+    pmax = par_idx.shape[1]
+    for i in range(m):
+        js = par_idx[i][par_idx[i] < m]
+        level[i] = 1 + (level[js].max() if js.size else 0)
+    depth = int(level.max())
+    levels = [np.nonzero(level == d + 1)[0].astype(np.int32) for d in range(depth)]
+
+    @jax.jit
+    def encode_fn(source: jax.Array) -> jax.Array:
+        b, _, w = source.shape
+        src_p = jnp.pad(source, ((0, 0), (0, 1), (0, 0)))
+        sv = jnp.take(src_p, jnp.asarray(src_idx), axis=1)  # (B, m, dmax, W)
+        t = jax.lax.reduce(sv, sv.dtype.type(0), jax.lax.bitwise_xor, (2,))
+        par = jnp.zeros((b, m + 1, w), dtype=source.dtype)
+        for rows in levels:  # unrolled: all indices are XLA constants
+            pidx = jnp.asarray(par_idx[rows])  # (L, pmax) pad m
+            nbrs = jnp.take(par, pidx, axis=1)  # (B, L, pmax, W)
+            acc = t[:, jnp.asarray(rows)] ^ jax.lax.reduce(
+                nbrs, nbrs.dtype.type(0), jax.lax.bitwise_xor, (2,)
+            )
+            par = par.at[:, jnp.asarray(rows)].set(acc)
+        return jnp.concatenate([source, par[:, :m]], axis=1)
+
+    return encode_fn
+
+
 def encode_scan(arrays: CodeArrays, source: jax.Array, n: int, k: int) -> jax.Array:
     """Sequential-schedule binary encoder (cross-check path).
 

@@ -51,7 +51,13 @@ def time_fn(
 ) -> Timing:
     """Time a device callable: warmup (compile) first, then ``reps`` calls
     timed as one span with a single final block (throughput convention —
-    calls pipeline on device like the reference's streamed frames)."""
+    calls pipeline on device like the reference's streamed frames).
+
+    Caveat (measured): make ``fn`` *consume* its computation (e.g. return a
+    reduction) — repeated identical calls whose big outputs go unused were
+    observed to report physically impossible rates (the runtime elides
+    work), e.g. a phantom 343 Tbps for an encoder whose honest, consumed
+    measurement is 190 Gbps."""
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args)

@@ -219,3 +219,16 @@ def test_count_all_symbols_scope():
     ek = int(sk(key, per).block_errors)
     ea = int(sa(key, per).block_errors)
     assert ea >= ek
+
+
+def test_level_encoder_matches_scan():
+    """Level-scheduled packed encoder is bit-identical to the scan encoder."""
+    from ldpc_erasure_codes_tpu.ops.encode import make_packed_encoder
+
+    code = get_code("n2040_k1530")
+    arrays = device_arrays(code)
+    enc = make_packed_encoder(code)
+    src = jax.random.bits(jax.random.key(4), (3, code.k, 2), dtype=jnp.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(enc(src)), np.asarray(encode_packed(arrays, src))
+    )
