@@ -1,0 +1,113 @@
+"""Block assembler tests: out-of-order packets -> decode-ready batches ->
+end-to-end recovery through the device decoder."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ldpc_erasure_codes_tpu.codes import toy_code  # noqa: F401
+from ldpc_erasure_codes_tpu.ops import device_arrays, encode_packed, hybrid_decode
+from ldpc_erasure_codes_tpu.utils.streaming import (
+    BlockAssembler,
+    HEADER_BYTES,
+    make_packet,
+    unpack_header,
+)
+
+
+def test_header_roundtrip():
+    p = make_packet(3, 0xDEADBEEF, 513, b"\x00" * 4)
+    assert len(p) == HEADER_BYTES + 4
+    assert unpack_header(p) == (3, 0xDEADBEEF, 513)
+
+
+def test_out_of_order_assembly():
+    n, k, sb = 8, 5, 4
+    asm = BlockAssembler(n, k, sb, decode_at_k=False)
+    rng = np.random.default_rng(0)
+    payloads = [rng.integers(0, 256, sb, dtype=np.uint8).tobytes() for _ in range(n)]
+    order = rng.permutation(n)
+    for s in order:
+        asm.push(make_packet(0, 7, int(s), payloads[s]))
+    assert asm.ready_count == 1
+    nums, vals, erased = asm.drain()
+    assert nums.tolist() == [7]
+    assert not erased.any()
+    for s in range(n):
+        assert vals[0, s].tobytes() == payloads[s]
+
+
+def test_decode_at_k_trigger_and_erasures():
+    n, k, sb = 10, 6, 2
+    asm = BlockAssembler(n, k, sb, decode_at_k=True)
+    for s in range(k):  # exactly k packets -> immediate drain
+        asm.push(make_packet(0, 1, s, bytes([s, s])))
+    assert asm.ready_count == 1
+    _, vals, erased = asm.drain()
+    np.testing.assert_array_equal(erased[0], [False] * k + [True] * (n - k))
+    assert (vals[0, k:] == 0).all()  # erased slots zero (invariant)
+
+
+def test_eviction_and_flush():
+    asm = BlockAssembler(4, 2, 1, max_blocks=2, decode_at_k=False)
+    for blk in range(3):  # 3 in-flight blocks with 1 packet each
+        asm.push(make_packet(0, blk, 0, b"\x01"))
+    assert asm.stats["evictions"] == 1  # oldest force-drained
+    asm.flush()
+    assert asm.ready_count == 3
+    asm.push(make_packet(0, 9, 99, b"\x01"))  # bad symbol index
+    asm.push(make_packet(0, 9, 0, b""))  # bad length
+    assert asm.stats["bad"] == 2
+
+
+def test_duplicates_ignored():
+    asm = BlockAssembler(4, 2, 1, decode_at_k=False)
+    asm.push(make_packet(0, 0, 1, b"\xaa"))
+    asm.push(make_packet(0, 0, 1, b"\xbb"))
+    assert asm.stats["duplicates"] == 1
+    asm.flush()
+    _, vals, erased = asm.drain()
+    assert vals[0, 1, 0] == 0xAA  # first arrival wins
+
+
+def test_stream_to_device_decode():
+    """Lossy out-of-order packet stream -> assembler -> hybrid decode ->
+    exact recovery of every decodable block."""
+    from ldpc_erasure_codes_tpu.codes import gen_row_wise
+
+    # Every variable node degree >= 2 (toy_code can leave unprotected
+    # degree-0 source columns, which no decoder can recover).
+    code = gen_row_wise([(16, 6)], [(48, 2)], seed=3, max_tries=40, strict_tries=4)
+    arrays = device_arrays(code)
+    w = 1  # one uint32 word per symbol = 4 payload bytes
+    nblocks = 6
+    rng = np.random.default_rng(1)
+    src = jax.random.bits(jax.random.key(0), (nblocks, code.k, w), dtype=jnp.uint32)
+    cw = np.asarray(jax.device_get(encode_packed(arrays, src)))  # (B, n, 1)
+
+    asm = BlockAssembler(code.n, code.k, 4, max_blocks=nblocks, decode_at_k=False)
+    packets = []
+    for b in range(nblocks):
+        for s in range(code.n):
+            if rng.random() < 0.15:  # channel loss
+                continue
+            packets.append(
+                make_packet(0, b, s, cw[b, s].astype("<u4").tobytes())
+            )
+    rng.shuffle(packets)  # network reordering
+    for p in packets:
+        asm.push(p)
+    asm.flush()
+    nums, vals, erased = asm.drain()
+    assert len(nums) == nblocks
+    # Back to packed uint32 words for the device decoder.
+    values = jnp.asarray(vals.view("<u4").reshape(len(nums), code.n, w))
+    v, e, iters, failed = hybrid_decode(
+        arrays, values, jnp.asarray(erased), peel_iters=50, emax=16
+    )
+    ok = np.asarray(jax.device_get(~failed))
+    got = np.asarray(jax.device_get(v))
+    order = np.argsort(nums)
+    for i in np.nonzero(ok)[0]:
+        np.testing.assert_array_equal(got[i], cw[nums[i]], err_msg=f"block {nums[i]}")
+    assert ok.sum() >= nblocks - 1  # 15% loss on rate-2/3: nearly all decode
