@@ -18,7 +18,9 @@ from ldpc_erasure_codes_tpu.gf.ops import (
     gf_inv,
     gf_matmul_bitimage,
     gf_mul,
+    gf_mul_arith,
     gf_mul_log,
+    gf_mul_table,
     int_matmul,
     mod2_matmul,
 )
@@ -39,7 +41,9 @@ __all__ = [
     "gf_inv",
     "gf_matmul_bitimage",
     "gf_mul",
+    "gf_mul_arith",
     "gf_mul_log",
+    "gf_mul_table",
     "int_matmul",
     "mod2_matmul",
 ]

@@ -17,12 +17,15 @@ from ldpc_erasure_codes_tpu.parallel.mesh import (
     shard_sim_step,
 )
 from ldpc_erasure_codes_tpu.parallel import multihost
+from ldpc_erasure_codes_tpu.parallel.scaling import ScalePoint, measure_scaling
 
 __all__ = [
     "BATCH_AXIS",
     "LANE_AXIS",
     "default_mesh",
     "make_mesh",
+    "ScalePoint",
+    "measure_scaling",
     "multihost",
     "shard_sim_step",
 ]

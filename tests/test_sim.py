@@ -232,3 +232,20 @@ def test_level_encoder_matches_scan():
     np.testing.assert_array_equal(
         np.asarray(enc(src)), np.asarray(encode_packed(arrays, src))
     )
+
+
+def test_measure_scaling_virtual_mesh():
+    """Scaling measurement runs on the 8-device virtual mesh and reports
+    monotone frame counts with an efficiency baseline of 1.0."""
+    from ldpc_erasure_codes_tpu.parallel import measure_scaling
+
+    code = toy_code(n=64, k=40, seed=6)
+    cfg = SimConfig(
+        code=code.name, batch=64, track_values=False,
+        decoder=DecoderConfig(kind="peel"),
+    )
+    pts = measure_scaling(code, cfg, 0.1, device_counts=[1, 2, 4], reps=2)
+    assert [p.devices for p in pts] == [1, 2, 4]
+    assert pts[0].efficiency == 1.0
+    assert pts[1].frames == 2 * pts[0].frames
+    assert all(p.frames_per_sec > 0 for p in pts)
