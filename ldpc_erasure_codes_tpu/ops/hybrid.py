@@ -19,6 +19,7 @@ from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
 from ldpc_erasure_codes_tpu.ops.compact import compact_ge_solve
 from ldpc_erasure_codes_tpu.ops.ge import ge_solve
 from ldpc_erasure_codes_tpu.ops.peel import peel_decode
+from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
 
 
 @functools.partial(
@@ -48,9 +49,16 @@ def hybrid_decode(
 
     Returns (values, erased, iters, failed).
     """
-    values, erased, iters = peel_decode(
-        arrays, values, erased, gf_order=gf_order, max_iters=peel_iters, impl=impl
-    )
+    if gf_order == 2 and values.ndim == 3 and impl == "gather":
+        # Wide binary frames use the symbol-major decoder (same fixed point
+        # and iteration accounting; ~2x the frame-major step).
+        values, erased, iters = peel_decode_wide(
+            arrays, values, erased, max_iters=peel_iters
+        )
+    else:
+        values, erased, iters = peel_decode(
+            arrays, values, erased, gf_order=gf_order, max_iters=peel_iters, impl=impl
+        )
     any_residual = jnp.any(erased)
 
     def with_ge(args):

@@ -279,3 +279,39 @@ class TestSeqBlocksSchedule:
         v2, e2, _ = peel_decode(arrays, recv, mask, gf_order=256, seq_blocks=2)
         np.testing.assert_array_equal(np.asarray(e2), np.asarray(eg))
         np.testing.assert_array_equal(np.asarray(v2), np.asarray(vg))
+
+
+class TestPeelDecodeWide:
+    """Symbol-major wide decoder: identical fixed point (and identical
+    iteration counts at split=1) to the frame-major gather decoder."""
+
+    def test_matches_gather_all_splits(self):
+        import jax, jax.numpy as jnp
+        from ldpc_erasure_codes_tpu import channel as ch
+        from ldpc_erasure_codes_tpu.codes import get_code
+        from ldpc_erasure_codes_tpu.ops import (
+            device_arrays,
+            encode_packed,
+            peel_decode,
+            peel_decode_wide,
+        )
+
+        code = get_code("n2040_k1530")
+        arrays = device_arrays(code)
+        src = jax.random.bits(jax.random.key(0), (8, code.k, 3), dtype=jnp.uint32)
+        cw = encode_packed(arrays, src)
+        for per, seed in [(0.14, 1), (0.2, 2)]:
+            mask = ch.iid_erasures(jax.random.key(seed), (8, code.n), per)
+            recv = ch.apply_erasures(cw, mask)
+            vg, eg, ig = peel_decode(
+                arrays, recv, mask, max_iters=50, early_stop_k=code.k
+            )
+            for split in (1, 2, 4):
+                vw, ew, iw = peel_decode_wide(
+                    arrays, recv, mask, max_iters=50, early_stop_k=code.k,
+                    split=split,
+                )
+                np.testing.assert_array_equal(np.asarray(ew), np.asarray(eg))
+                np.testing.assert_array_equal(np.asarray(vw), np.asarray(vg))
+                if split == 1:
+                    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ig))
