@@ -72,7 +72,11 @@ def gf_mul_log(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.where(zero, jnp.uint8(0), prod)
 
 
-def gf_mul_arith(a: jax.Array, b: jax.Array) -> jax.Array:
+def gf_mul_arith(
+    a: jax.Array,
+    b: jax.Array,
+    prim_poly: int = gf_tables.DEFAULT_PRIM_POLY,
+) -> jax.Array:
     """Elementwise GF(256) product by carryless multiply + reduction — no
     table gathers, ~30 pure VPU ops on uint16 lanes.
 
@@ -81,9 +85,10 @@ def gf_mul_arith(a: jax.Array, b: jax.Array) -> jax.Array:
     this trades the flat-table gather of :func:`gf_mul` (one random VMEM
     access per element) for vector ALU work — the winning formulation when
     the operand tensors are large and gather-bound (e.g. the GF(256)
-    Gauss-Jordan row updates).
+    Gauss-Jordan row updates). ``prim_poly`` selects the field, matching the
+    parameterization of the table paths.
     """
-    poly = jnp.uint16(gf_tables.DEFAULT_PRIM_POLY)
+    poly = jnp.uint16(prim_poly)
     a16 = a.astype(jnp.uint16)
     b16 = b.astype(jnp.uint16)
     prod = jnp.zeros_like(a16)
@@ -96,10 +101,14 @@ def gf_mul_arith(a: jax.Array, b: jax.Array) -> jax.Array:
     return prod.astype(jnp.uint8)
 
 
-def gf_mul(a: jax.Array, b: jax.Array) -> jax.Array:
+def gf_mul(
+    a: jax.Array,
+    b: jax.Array,
+    prim_poly: int = gf_tables.DEFAULT_PRIM_POLY,
+) -> jax.Array:
     """Elementwise GF(256) product (arithmetic formulation — see
     :func:`gf_mul_arith`; exhaustively equal to the table path)."""
-    return gf_mul_arith(a, b)
+    return gf_mul_arith(a, b, prim_poly)
 
 
 def gf_inv(a: jax.Array) -> jax.Array:

@@ -128,6 +128,12 @@ def _decode_mask(arrays: CodeArrays, cfg: SimConfig, erased: jax.Array, k: int):
         # invariant to how much peeling precedes the elimination (peeling is
         # partial elimination of the same system), so this gives the same
         # FER as the reference's peel-10-then-GE at a far smaller residual.
+        # Caveat: the invariance covers *solvability*, not the emax /
+        # ge_subbatch bucket-overflow flags — the value path eliminates after
+        # only d.peel_iters, so its residuals are larger and overflow can
+        # bind earlier there. Pattern-only and value-mode FER are identical
+        # only at operating points where no residual nears emax/ge_subbatch
+        # (all VALIDATION.md campaigns check the overflow counters are zero).
         e, iters = peel_decode_mask(arrays, erased, max_iters=d.max_iters)
 
         def rank(er):

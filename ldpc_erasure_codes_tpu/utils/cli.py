@@ -76,13 +76,43 @@ def cmd_sim(args) -> int:
     return 0
 
 
-def cmd_throughput(args) -> int:
+def make_throughput_step(code, arrays, *, batch: int, per: float, max_iters: int):
+    """Jitted throughput step: on-device channel draw + wide value decode.
+
+    The returned step's outputs DEPEND on the codeword values (an XOR digest
+    of the decoded symbols, as bench.py): mask evolution is value-
+    independent, so a mask-only output would let XLA dead-code-eliminate the
+    entire wide value decode and report phantom Gbps (the measurement-
+    integrity pitfall documented in VALIDATION.md). Regression-tested by
+    tests/test_cli.py::test_throughput_step_consumes_values.
+    """
     import jax
     import jax.numpy as jnp
 
     from ldpc_erasure_codes_tpu import channel as ch
+    from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
+
+    @jax.jit
+    def step(key, cw):
+        mask = ch.iid_erasures(key, (batch, code.n), per)
+        recv = ch.apply_erasures(cw, mask)
+        values, erased, _ = peel_decode_wide(
+            arrays, recv, mask, max_iters=max_iters, early_stop_k=code.k
+        )
+        digest = jnp.bitwise_xor.reduce(
+            jnp.bitwise_xor.reduce(values, axis=1), axis=0
+        )
+        return jnp.sum(erased[:, : code.k], dtype=jnp.int32), digest
+
+    return step
+
+
+def cmd_throughput(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
     from ldpc_erasure_codes_tpu.codes import get_code
-    from ldpc_erasure_codes_tpu.ops import device_arrays, encode_packed, peel_decode
+    from ldpc_erasure_codes_tpu.ops import device_arrays, encode_packed
 
     code = get_code(args.code)
     arrays = device_arrays(code)
@@ -91,15 +121,9 @@ def cmd_throughput(args) -> int:
     src = jax.random.bits(key, (b, code.k, w), dtype=jnp.uint32)
     cw = jax.block_until_ready(encode_packed(arrays, src))
 
-    @jax.jit
-    def step(key, cw):
-        mask = ch.iid_erasures(key, (b, code.n), args.per)
-        recv = ch.apply_erasures(cw, mask)
-        _, erased, _ = peel_decode(
-            arrays, recv, mask, max_iters=args.max_iters, early_stop_k=code.k
-        )
-        return jnp.sum(erased[:, : code.k], dtype=jnp.int32)
-
+    step = make_throughput_step(
+        code, arrays, batch=b, per=args.per, max_iters=args.max_iters
+    )
     jax.block_until_ready(step(jax.random.fold_in(key, 999), cw))
     t0 = time.perf_counter()
     out = None

@@ -60,7 +60,16 @@ def generate_golden(
     enc_out = []
     dec_in = []
     dec_out = []
-    for _ in range(frames):
+    attempts = 0
+    max_attempts = 50 * frames
+    while len(enc_in) < frames:
+        if attempts >= max_attempts:
+            raise RuntimeError(
+                f"generate_golden: only {len(enc_in)}/{frames} decodable "
+                f"frames after {attempts} draws at per={per} — lower the "
+                "erasure rate"
+            )
+        attempts += 1
         src = rng.integers(1, 1 << 16, size=code.k, dtype=np.uint16)
         # Bit-plane encode through the oracle: replication means every bit
         # plane of a symbol is either the value's bit or zero, so encoding
@@ -87,7 +96,8 @@ def generate_golden(
         for b in range(16):
             dec |= (dec_bits[b].astype(np.uint16) << b)
         if not ok_all:
-            # Keep golden sets decodable: re-draw this frame.
+            # Keep golden sets decodable: re-draw this frame (the while
+            # loop keeps drawing until the requested count is reached).
             continue
         enc_in.append(src)
         enc_out.append(cw)

@@ -87,9 +87,15 @@ class BlockAssembler:
         self.decode_at_k = decode_at_k
         self._blocks: OrderedDict[int, _Block] = OrderedDict()
         self._ready: list[tuple[int, np.ndarray, np.ndarray]] = []
+        # Recently-completed block numbers (bounded LRU): a straggler packet
+        # for an already-drained block must count as late, not recreate a
+        # phantom block that would later be emitted as a duplicate frame.
+        self._completed: OrderedDict[int, None] = OrderedDict()
+        self._completed_cap = max(64, 4 * max_blocks)
         self.stats = {
             "packets": 0,
             "duplicates": 0,
+            "late": 0,
             "bad": 0,
             "blocks_out": 0,
             "evictions": 0,
@@ -104,6 +110,9 @@ class BlockAssembler:
         _cls, block_num, sym = unpack_header(packet)
         if sym >= self.n:
             self.stats["bad"] += 1
+            return
+        if block_num in self._completed:
+            self.stats["late"] += 1
             return
         blk = self._blocks.get(block_num)
         if blk is None:
@@ -132,6 +141,9 @@ class BlockAssembler:
         # Erased slots stay zero — the framework's erased-is-zero invariant.
         self._ready.append((block_num, blk.values, ~blk.received))
         self.stats["blocks_out"] += 1
+        self._completed[block_num] = None
+        while len(self._completed) > self._completed_cap:
+            self._completed.popitem(last=False)
 
     def flush(self) -> None:
         """Force-drain every in-flight block (end of stream)."""

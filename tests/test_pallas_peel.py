@@ -1,0 +1,122 @@
+"""VMEM-resident Pallas peeling decoder vs the NumPy oracle and XLA paths.
+
+The kernel runs the MATLAB sequential schedule (Gauss-Seidel, row order), so
+it must match ``oracle.peel_decode`` bit-exactly INCLUDING iteration counts;
+its fixed point must also equal the Jacobi XLA paths (``peel_decode``,
+``peel_decode_wide``) on every frame. CPU tests use interpret mode.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ldpc_erasure_codes_tpu.codes import gen_row_wise, get_code
+from ldpc_erasure_codes_tpu.ops import device_arrays, encode_packed
+from ldpc_erasure_codes_tpu.ops.peel import peel_decode
+from ldpc_erasure_codes_tpu.ops.pallas_peel import peel_decode_vmem
+from ldpc_erasure_codes_tpu.utils import oracle
+
+
+def _bits_from_words(words):
+    # (n, W) uint32 -> (n,) int64 bit-plane 0 (for oracle comparison)
+    return (words[:, 0] & 1).astype(np.int64)
+
+
+def _make_case(code, b, w, per, seed):
+    arrays = device_arrays(code)
+    key = jax.random.key(seed)
+    src = jax.random.bits(key, (b, code.k, w), dtype=jnp.uint32)
+    cw = encode_packed(arrays, src)
+    mask = jax.random.uniform(jax.random.fold_in(key, 1), (b, code.n)) < per
+    recv = jnp.where(mask[:, :, None], jnp.uint32(0), cw)
+    return arrays, cw, recv, mask
+
+
+@pytest.mark.parametrize("bt", [4, 8])
+def test_matches_oracle_bit_exact(bt):
+    """Values, residual mask, AND iteration counts equal the oracle's
+    sequential sweep on every frame."""
+    code = gen_row_wise([(16, 6)], [(48, 2)], seed=3, max_tries=40,
+                        strict_tries=4)
+    b, w, per = 8, 2, 0.25
+    arrays, cw, recv, mask = _make_case(code, b, w, per, seed=0)
+    v, e, iters = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, b_tile=bt, interpret=True
+    )
+    v, e, iters = map(np.asarray, (v, e, iters))
+    cw_np, mask_np = np.asarray(cw), np.asarray(mask)
+    for f in range(b):
+        recv_bits = np.where(
+            mask_np[f], oracle.ERASED, (cw_np[f, :, 0] & 1).astype(np.int64)
+        )
+        o_out, o_iters = oracle.peel_decode(code, recv_bits, max_iters=50)
+        np.testing.assert_array_equal(
+            e[f], o_out == oracle.ERASED, err_msg=f"frame {f} mask"
+        )
+        # Resolved symbols carry the full recovered words.
+        np.testing.assert_array_equal(
+            v[f][~e[f]], cw_np[f][~e[f]], err_msg=f"frame {f} values"
+        )
+        assert iters[f] == o_iters, f"frame {f}: {iters[f]} vs {o_iters}"
+
+
+def test_fixed_point_matches_jacobi_xla():
+    code = get_code("n2000_k1000")
+    b, w, per = 4, 2, 0.35
+    arrays, cw, recv, mask = _make_case(code, b, w, per, seed=1)
+    v_p, e_p, _ = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, interpret=True
+    )
+    v_x, e_x, _ = peel_decode(arrays, recv, mask, max_iters=50)
+    np.testing.assert_array_equal(np.asarray(e_p), np.asarray(e_x))
+    np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_x))
+
+
+def test_fuses_channel_masking():
+    """Passing UN-masked codewords with the mask must give the same result
+    as pre-masked input (masking is fused into the copy-in)."""
+    code = get_code("n2000_k1000")
+    b, w, per = 4, 2, 0.3
+    arrays, cw, recv, mask = _make_case(code, b, w, per, seed=2)
+    v1, e1, i1 = peel_decode_vmem(arrays, cw, mask, max_iters=50,
+                                  interpret=True)
+    v2, e2, i2 = peel_decode_vmem(arrays, recv, mask, max_iters=50,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_early_stop_k_and_batch_padding():
+    """early_stop_k=k halts once source symbols resolve; B not a multiple of
+    b_tile pads cleanly; clean frames report iters == 1."""
+    code = gen_row_wise([(16, 6)], [(48, 2)], seed=3, max_tries=40,
+                        strict_tries=4)
+    b, w = 5, 1
+    arrays, cw, recv, mask = _make_case(code, b, w, 0.2, seed=3)
+    mask = mask.at[0].set(False)  # frame 0: nothing erased
+    recv0 = jnp.where(mask[:, :, None], jnp.uint32(0), cw)
+    v, e, iters = peel_decode_vmem(
+        arrays, recv0, mask, max_iters=50, early_stop_k=code.k,
+        b_tile=4, interpret=True,
+    )
+    v, e, iters = map(np.asarray, (v, e, iters))
+    assert iters[0] == 1
+    # Source region of converged frames is exact.
+    for f in range(b):
+        if not e[f][: code.k].any():
+            np.testing.assert_array_equal(
+                v[f][: code.k], np.asarray(cw)[f][: code.k]
+            )
+
+
+def test_skip_idle_identical():
+    code = get_code("n2000_k1000")
+    arrays, cw, recv, mask = _make_case(code, 4, 1, 0.3, seed=4)
+    out_a = peel_decode_vmem(arrays, recv, mask, skip_idle=True,
+                             interpret=True)
+    out_b = peel_decode_vmem(arrays, recv, mask, skip_idle=False,
+                             interpret=True)
+    for a, b_ in zip(out_a, out_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))

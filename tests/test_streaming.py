@@ -70,6 +70,21 @@ def test_duplicates_ignored():
     assert vals[0, 1, 0] == 0xAA  # first arrival wins
 
 
+def test_late_straggler_does_not_duplicate_block():
+    """A packet arriving after its block drained counts as late — it must
+    not recreate a phantom block that would be emitted twice."""
+    n, k, sb = 6, 3, 1
+    asm = BlockAssembler(n, k, sb, decode_at_k=True)
+    for s in range(k):  # block 5 drains at k packets
+        asm.push(make_packet(0, 5, s, bytes([s])))
+    assert asm.ready_count == 1
+    asm.push(make_packet(0, 5, k, bytes([k])))  # straggler for block 5
+    assert asm.stats["late"] == 1
+    asm.flush()
+    nums, _, _ = asm.drain()
+    assert nums.tolist() == [5]  # exactly one output for block 5
+
+
 def test_stream_to_device_decode():
     """Lossy out-of-order packet stream -> assembler -> hybrid decode ->
     exact recovery of every decodable block."""
