@@ -7,6 +7,8 @@ covers both tiers:
 
   sim         FER sweep (the MATLAB sim drivers + FPGA data_out statistics)
   throughput  decoder throughput measurement (main.cpp:652-658 formula)
+  scaling     mesh scaling-efficiency sweep (north star BASELINE.md:28)
+  stream      UDP loopback streaming demo (encoder_VITA_in_UDP_out datapath)
   codes       list the registry
   census      4/6/8-cycle census of a code (Hcyclefinder)
   gen         construct a girth-8 code and save it (.npz)
@@ -198,6 +200,77 @@ def cmd_plot(args) -> int:
     return 0
 
 
+def cmd_scaling(args) -> int:
+    """Scaling-efficiency measurement over the device mesh (north star:
+    >=80% codewords/s efficiency at >=2 hosts, BASELINE.md:28). On a single
+    host this sweeps sub-meshes of the local devices; under a multi-process
+    launch (jax.distributed) the mesh spans all hosts."""
+    from ldpc_erasure_codes_tpu.codes import get_code
+    from ldpc_erasure_codes_tpu.parallel.scaling import measure_scaling
+    from ldpc_erasure_codes_tpu.sim import DecoderConfig, SimConfig
+
+    code = get_code(args.code)
+    cfg = SimConfig(
+        code=args.code,
+        batch=args.batch,
+        track_values=False,
+        decoder=DecoderConfig(
+            kind=args.decoder, max_iters=args.max_iters, early_stop_k=True
+        ),
+        steps_per_call=args.steps_per_call,
+    )
+    counts = (
+        [int(c) for c in args.devices.split(",")] if args.devices else None
+    )
+    points = measure_scaling(
+        code, cfg, args.per, device_counts=counts, reps=args.reps
+    )
+    for p in points:
+        print(
+            json.dumps(
+                {
+                    "devices": p.devices,
+                    "frames": p.frames,
+                    "seconds": round(p.seconds, 4),
+                    "frames_per_sec": round(p.frames_per_sec, 1),
+                    "efficiency": round(p.efficiency, 4),
+                }
+            )
+        )
+    return 0
+
+
+def cmd_stream(args) -> int:
+    """End-to-end UDP loopback streaming demo: encode -> lossy reordered
+    datagrams -> reorder buffer -> batched device decode -> bit-exact
+    verification (reference datapath:
+    OpenCL/device/ldpc_erasure_encoder_VITA_in_UDP_out.cl:84-136)."""
+    from ldpc_erasure_codes_tpu.utils.udp import loopback_demo
+
+    r = loopback_demo(
+        args.code,
+        blocks=args.blocks,
+        symbol_words=args.symbol_words,
+        loss=args.loss,
+        shuffle=not args.in_order,
+        seed=args.seed,
+    )
+    print(
+        json.dumps(
+            {
+                "blocks": r.blocks,
+                "packets_sent": r.packets_sent,
+                "packets_received": r.packets_received,
+                "blocks_recovered": r.blocks_recovered,
+                "blocks_failed": r.blocks_failed,
+                "packets_per_sec": round(r.packets_per_sec, 1),
+                "assembler": r.stats,
+            }
+        )
+    )
+    return 0 if r.blocks_recovered + r.blocks_failed == r.blocks else 1
+
+
 def cmd_codes(_args) -> int:
     from ldpc_erasure_codes_tpu.codes import get_code, list_codes
 
@@ -257,15 +330,40 @@ def cmd_gen(args) -> int:
 
 
 def cmd_golden(args) -> int:
+    from ldpc_erasure_codes_tpu.utils import golden
+
+    if args.rs:
+        n, k = (int(x) for x in args.rs.split(","))
+        gs = golden.generate_golden_rs(
+            n, k, args.dir, frames=args.frames, per=args.per, seed=args.seed
+        )
+        print(f"wrote {gs.frames} golden RS frames to {gs.directory}")
+        passed, report = golden.verify_golden_rs(
+            n, k, args.dir, words=args.symbol_words
+        )
+        print(report)
+        return 0 if passed else 1
+
     from ldpc_erasure_codes_tpu.codes import get_code
-    from ldpc_erasure_codes_tpu.utils.golden import generate_golden, verify_golden
 
     code = get_code(args.code)
-    gs = generate_golden(
-        code, args.dir, frames=args.frames, per=args.per, seed=args.seed
-    )
-    print(f"wrote {gs.frames} golden frames to {gs.directory}")
-    passed, report = verify_golden(code, args.dir, words=args.symbol_words)
+    if args.gf == 256:
+        code = code.lift_to_gf256() if code.gf_order == 2 else code
+        gs = golden.generate_golden_nb(
+            code, args.dir, frames=args.frames, per=args.per, seed=args.seed
+        )
+        print(f"wrote {gs.frames} golden NB frames to {gs.directory}")
+        passed, report = golden.verify_golden_nb(
+            code, args.dir, words=args.symbol_words
+        )
+    else:
+        gs = golden.generate_golden(
+            code, args.dir, frames=args.frames, per=args.per, seed=args.seed
+        )
+        print(f"wrote {gs.frames} golden frames to {gs.directory}")
+        passed, report = golden.verify_golden(
+            code, args.dir, words=args.symbol_words
+        )
     print(report)
     return 0 if passed else 1
 
@@ -315,6 +413,26 @@ def main(argv: list[str] | None = None) -> int:
     pc = sub.add_parser("codes", help="list registry codes")
     pc.set_defaults(fn=cmd_codes)
 
+    psc = sub.add_parser("scaling", help="mesh scaling-efficiency sweep")
+    psc.add_argument("--code", default="n2000_k1000")
+    psc.add_argument("--decoder", default="peel", choices=["peel", "hybrid", "ml"])
+    psc.add_argument("--per", type=float, default=0.3)
+    psc.add_argument("--batch", type=int, default=256, help="per-device batch")
+    psc.add_argument("--max-iters", type=int, default=20)
+    psc.add_argument("--steps-per-call", type=int, default=4)
+    psc.add_argument("--reps", type=int, default=4)
+    psc.add_argument("--devices", default="", help="comma list, e.g. 1,2,4,8")
+    psc.set_defaults(fn=cmd_scaling)
+
+    pst = sub.add_parser("stream", help="UDP loopback streaming demo")
+    pst.add_argument("--code", default="n2000_k1000")
+    pst.add_argument("--blocks", type=int, default=8)
+    pst.add_argument("--symbol-words", type=int, default=2)
+    pst.add_argument("--loss", type=float, default=0.1)
+    pst.add_argument("--in-order", action="store_true")
+    pst.add_argument("--seed", type=int, default=0)
+    pst.set_defaults(fn=cmd_stream)
+
     pp = sub.add_parser("plot", help="FER curve sweep -> PNG")
     pp.add_argument("--code", default="n2040_k1530")
     pp.add_argument("--pers", default="0.1406,0.1562,0.1719,0.1875,0.2031")
@@ -342,6 +460,8 @@ def main(argv: list[str] | None = None) -> int:
 
     pv = sub.add_parser("golden", help="golden-vector generate + verify")
     pv.add_argument("--code", default="n2000_k1000")
+    pv.add_argument("--gf", type=int, default=2, choices=[2, 256])
+    pv.add_argument("--rs", default="", help="RS golden instead: 'n,k'")
     pv.add_argument("--dir", required=True)
     pv.add_argument("--frames", type=int, default=4)
     pv.add_argument("--per", type=float, default=0.2)

@@ -60,3 +60,23 @@ def test_codes_cli_smoke(capsys):
     assert cli.main(["codes"]) == 0
     out = capsys.readouterr().out
     assert "n2040_k1530" in out
+
+
+def test_scaling_cli_smoke(capsys):
+    """Scaling sweep runs on the 8-device virtual mesh and reports
+    efficiency 1.0 at the base point."""
+    rc = cli.main(
+        [
+            "scaling",
+            "--code", "n2000_k1000",
+            "--batch", "8",
+            "--devices", "1,2,8",
+            "--reps", "2",
+            "--steps-per-call", "1",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [p["devices"] for p in lines] == [1, 2, 8]
+    assert lines[0]["efficiency"] == 1.0
+    assert lines[2]["frames"] == 8 * 8 * 2 * 1  # devices*batch*reps*steps

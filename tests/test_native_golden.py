@@ -128,3 +128,52 @@ def test_golden_detects_corruption(tmp_path):
     passed, report = verify_golden(code, tmp_path, words=4)
     assert not passed
     assert "encode=FAILED" in report
+
+
+def test_golden_nb_roundtrip(tmp_path):
+    """GF(256) golden protocol: NB oracle files -> device packed NB encode +
+    wide NB hybrid decode, bit-exact (explicit mask file, since 0x00 is a
+    legal GF(256) symbol value)."""
+    from ldpc_erasure_codes_tpu.codes import toy_code
+    from ldpc_erasure_codes_tpu.utils.golden import (
+        generate_golden_nb,
+        verify_golden_nb,
+    )
+
+    code = toy_code(n=60, k=36, seed=2, gf_order=256)
+    gs = generate_golden_nb(code, tmp_path, frames=3, per=0.08, seed=1)
+    assert gs.frames == 3
+    passed, report = verify_golden_nb(code, tmp_path, words=4, emax=32)
+    assert passed, report
+
+
+def test_golden_rs_roundtrip(tmp_path):
+    """RS golden protocol: MATLAB-faithful oracle decode
+    (My_RS_Decode_Optimize_With_GFTables.m) vs the device GE solve."""
+    from ldpc_erasure_codes_tpu.utils.golden import (
+        generate_golden_rs,
+        verify_golden_rs,
+    )
+
+    gs = generate_golden_rs(15, 11, tmp_path, frames=4, per=0.2, seed=3)
+    assert gs.frames == 4
+    passed, report = verify_golden_rs(15, 11, tmp_path, words=4)
+    assert passed, report
+
+
+def test_golden_nb_detects_corruption(tmp_path):
+    from ldpc_erasure_codes_tpu.codes import toy_code
+    from ldpc_erasure_codes_tpu.utils.golden import (
+        DEC_OUT,
+        generate_golden_nb,
+        verify_golden_nb,
+    )
+
+    code = toy_code(n=60, k=36, seed=2, gf_order=256)
+    generate_golden_nb(code, tmp_path, frames=1, per=0.08, seed=4)
+    vals = native.read_vector_file(tmp_path / DEC_OUT)
+    vals[7] ^= 0x5A
+    native.write_vector_file(tmp_path / DEC_OUT, vals)
+    passed, report = verify_golden_nb(code, tmp_path, words=4, emax=32)
+    assert not passed
+    assert "decode=FAILED" in report
