@@ -8,7 +8,13 @@ FPGA (Latex/Milcom_2022_ErasureCodes.tex:185; formula main.cpp:652-658).
 Timed region matches the FPGA run(): erasure-pattern generation on device
 (counter RNG, as decoder_top.cl:89-116), peeling decode with first-k early
 stop (decoder_perf_tests.cl:86-88,205-210). Codewords are pre-encoded outside
-the loop (the FPGA decoder also receives already-encoded frames).
+the loop (the FPGA decoder also receives already-encoded frames); channel
+masking is fused into the decoder's copy-in (the kernel zeroes erased slots).
+
+Production decoder: the VMEM-resident Pallas kernel (ops/pallas_peel.py) —
+one HBM read + one write of the codeword data per decode regardless of
+iteration count; Gauss-Seidel sweeps in VMEM. BENCH_IMPL=xla falls back to
+the XLA symbol-major path (ops/peel_wide.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -30,16 +36,18 @@ def main() -> None:
     from ldpc_erasure_codes_tpu import channel as ch
     from ldpc_erasure_codes_tpu.codes import get_code
     from ldpc_erasure_codes_tpu.ops import device_arrays, encode_packed
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import peel_decode_vmem
     from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
 
     quick = "--quick" in sys.argv
     code = get_code("n2040_k1530")
     arrays = device_arrays(code)
-    # B=256 compiles fastest; honest throughput is flat in batch (27-29 Gbps).
     b = int(os.environ.get("BENCH_BATCH", "16" if quick else "256"))
     w = int(os.environ.get("BENCH_WORDS", "256"))  # 256 x uint32 = 8192 bits = S
     per = float(os.environ.get("BENCH_PER", "0.1406"))
     reps = int(os.environ.get("BENCH_REPS", "5" if quick else "10"))
+    impl = os.environ.get("BENCH_IMPL", "pallas")
+    bt = int(os.environ.get("BENCH_TILE", "8"))
     symbol_bits = 32 * w
 
     key = jax.random.key(0)
@@ -49,10 +57,18 @@ def main() -> None:
     @jax.jit
     def step(key, cw):
         mask = ch.iid_erasures(key, (b, code.n), per)
-        recv = ch.apply_erasures(cw, mask)
-        values, erased, iters = peel_decode_wide(
-            arrays, recv, mask, max_iters=50, early_stop_k=code.k
-        )
+        if impl == "pallas":
+            # Masking is fused into the kernel copy-in; no apply_erasures
+            # HBM pass.
+            values, erased, iters = peel_decode_vmem(
+                arrays, cw, mask, max_iters=50, early_stop_k=code.k,
+                b_tile=bt,
+            )
+        else:
+            recv = ch.apply_erasures(cw, mask)
+            values, erased, iters = peel_decode_wide(
+                arrays, recv, mask, max_iters=50, early_stop_k=code.k
+            )
         # Consume the decoded VALUES (not just the mask): the mask evolution
         # is value-independent, so returning only residual counts lets XLA
         # dead-code-eliminate the entire wide-symbol decode.

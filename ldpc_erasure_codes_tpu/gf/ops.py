@@ -111,6 +111,47 @@ def gf_mul(
     return gf_mul_arith(a, b, prim_poly)
 
 
+def _xtime_packed(v: jax.Array, prim_poly: int) -> jax.Array:
+    """SWAR multiply-by-x of four packed GF(256) bytes per uint32 lane.
+
+    A byte overflowing its top bit wraps modulo the primitive polynomial's
+    low byte (x^8 ≡ poly & 0xFF); the ``hi * low_byte`` product rebroadcasts
+    the reduction into exactly the overflowing byte lanes.
+    """
+    hi = (v >> 7) & jnp.uint32(0x01010101)
+    return ((v << 1) & jnp.uint32(0xFEFEFEFE)) ^ (
+        hi * jnp.uint32(prim_poly & 0xFF)
+    )
+
+
+def gf_mul_packed(
+    words: jax.Array,
+    coef: jax.Array,
+    prim_poly: int = gf_tables.DEFAULT_PRIM_POLY,
+) -> jax.Array:
+    """GF(256) product of packed byte symbols against a byte coefficient.
+
+    ``words`` is uint32 with FOUR independent GF(256) symbols per word (the
+    wide-symbol packing); ``coef`` is uint8/uint32 broadcastable against
+    ``words`` — each of the four byte lanes of every word is multiplied by
+    the (single) coefficient byte. SWAR double-and-add: 8 conditional XORs
+    on the coefficient's bits interleaved with 7 packed xtime steps — ~40
+    vector ops per FOUR multiplies, vs ~30 uint16 ops per ONE multiply for
+    :func:`gf_mul_arith`. This is what makes the symbol-major GF(256) value
+    sweep (ops/peel_wide.py) multiply-bound-free; exhaustively validated
+    against the table path (tests/test_gf.py).
+    """
+    c = coef.astype(jnp.uint32)
+    acc = jnp.zeros_like(words)
+    cur = words
+    for i in range(8):
+        bit = (c >> i) & jnp.uint32(1)
+        acc = acc ^ (cur * bit)
+        if i < 7:
+            cur = _xtime_packed(cur, prim_poly)
+    return acc
+
+
 def gf_inv(a: jax.Array) -> jax.Array:
     """Elementwise multiplicative inverse; gf_inv(0) == 0."""
     d = _device_tables()

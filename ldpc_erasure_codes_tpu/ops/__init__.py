@@ -12,6 +12,7 @@ from ldpc_erasure_codes_tpu.ops.encode import (
 )
 from ldpc_erasure_codes_tpu.ops.ge import ge_rank_check, ge_solve
 from ldpc_erasure_codes_tpu.ops.pallas_channel import channel_apply_per64
+from ldpc_erasure_codes_tpu.ops.pallas_peel import peel_decode_vmem
 from ldpc_erasure_codes_tpu.ops.hybrid import hybrid_decode
 from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
 from ldpc_erasure_codes_tpu.ops.peel import (
@@ -38,6 +39,7 @@ __all__ = [
     "hybrid_decode",
     "make_packed_encoder",
     "peel_decode",
+    "peel_decode_vmem",
     "peel_decode_mask",
     "peel_decode_wide",
     "peel_decode_with_history",

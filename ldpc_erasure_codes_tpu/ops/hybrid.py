@@ -49,11 +49,12 @@ def hybrid_decode(
 
     Returns (values, erased, iters, failed).
     """
-    if gf_order == 2 and values.ndim == 3 and impl == "gather":
-        # Wide binary frames use the symbol-major decoder (same fixed point
-        # and iteration accounting; ~2x the frame-major step).
+    if values.ndim == 3 and impl == "gather":
+        # Wide frames use the symbol-major decoder (same fixed point and
+        # iteration accounting; ~2x the frame-major step for binary, and the
+        # production GF(256) wide path — carryless MACs, no table gathers).
         values, erased, iters = peel_decode_wide(
-            arrays, values, erased, max_iters=peel_iters
+            arrays, values, erased, max_iters=peel_iters, gf_order=gf_order
         )
     else:
         values, erased, iters = peel_decode(

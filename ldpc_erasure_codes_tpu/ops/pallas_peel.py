@@ -9,8 +9,9 @@ write of the codeword data regardless of iteration count. The sweep itself
 is the MATLAB schedule run natively: a sequential scalar loop over check
 rows (constant topology scalar-prefetched into SMEM), immediate in-VMEM
 updates (Gauss-Seidel — roughly halves the sweep count vs the Jacobi XLA
-path), per-frame vectorized over the tile's batch rows and the packed
-symbol words on the VPU.
+path), vectorized over the tile's frames and the packed symbol words on the
+VPU. Checks with no degree-1 frame in the tile skip all wide VMEM traffic
+(``skip_idle``).
 
 Schedule equivalence: identical to the NumPy oracle's sequential sweep
 (``utils/oracle.peel_decode``, reference Matlab/My_LDPC_Erasure_Decoder.m:
@@ -18,14 +19,21 @@ Schedule equivalence: identical to the NumPy oracle's sequential sweep
 tests/test_pallas_peel.py); the fixed point also equals every other peel
 impl (``peel_decode``, ``peel_decode_wide``).
 
-Layout: values live as (n1*bt, W) per grid step — symbol-major with the
-bt frames of the tile contiguous under each symbol, so a check's neighbor
-access is one sublane-aligned dynamic slice of shape (bt, W) and the per-
-check scalar work is amortized over bt frames. The erasure state is an
-int32 sidecar (n1*bt, 1). Erased slots are zeroed on copy-in (the channel
-masking is fused into the kernel), maintaining the erased-is-zero invariant
-the XOR accumulation relies on: a degree-1 check's recovered value is the
-XOR of ALL its neighbors, no erasure test needed.
+Layouts (per grid step, one tile of ``bt`` frames):
+
+* values ``(n1*bt, W)`` uint32 — symbol-major with the tile's frames
+  contiguous under each symbol, so a check's neighbor access is one
+  sublane-aligned dynamic slice of shape (bt, W) and per-check scalar work
+  amortizes over bt frames.
+* erasure state ``(n1, bt)`` int32 — frames on the LANE axis: a symbol's
+  flags are a (1, bt) dynamic-sublane slice, and all mask arithmetic
+  (counts, degree-1 tests, residuals) runs in cheap (1, bt) lane vectors.
+  Only the value select crosses spaces (one tiny transpose per actual peel
+  event).
+* an int8 ``(n1*bt, 1)`` erasure sidecar is read once to fuse the channel
+  masking into the copy-in (erased slots forced to zero — the invariant the
+  XOR accumulation relies on: a degree-1 check's recovered value is the XOR
+  of ALL its neighbors, no erasure test needed).
 
 FPGA analog: the reference's production decoder also streams one frame into
 on-chip RAM and iterates locally (decoder_perf_tests.cl:86-210); this is
@@ -51,35 +59,37 @@ def _make_kernel(
     n1 = n + 1
 
     def kernel(
-        topo_ref,  # (m, dmax) int32 SMEM (scalar prefetch), pad = n
-        vals_ref,  # (n1*bt, W) uint32 VMEM in
-        er_ref,    # (n1*bt, 1) int32 VMEM in
-        resid_ref,  # (bt, 1) int32 VMEM in: erasures among first k_stop cols
-        vals_out,  # (n1*bt, W) uint32 VMEM out (working buffer)
-        er_out,    # (n1*bt, 1) int32 VMEM out (working buffer)
-        iters_out,  # (bt, 1) int32 VMEM out
-        resid_scr,  # (bt, 1) int32 VMEM scratch
-        changed_scr,  # (bt, 1) int32 VMEM scratch
+        topo_ref,   # (m, dmax) int32 SMEM (scalar prefetch), pad = n
+        vals_ref,   # (n1*bt, W) uint32 VMEM in
+        emask_ref,  # (n1*bt, 1) int8 VMEM in (copy-in masking only)
+        er_ref,     # (n1, bt) int32 VMEM in
+        resid_ref,  # (1, bt) int32 VMEM in: erasures among first k_stop cols
+        vals_out,   # (n1*bt, W) uint32 VMEM out (working buffer)
+        er_out,     # (n1, bt) int32 VMEM out (working buffer)
+        iters_out,  # (1, bt) int32 VMEM out
+        resid_scr,  # (1, bt) int32 VMEM scratch
+        changed_scr,  # (1, bt) int32 VMEM scratch
         flag_smem,  # (2,) int32 SMEM scratch: [done, deg1_any]
     ):
         # Copy-in, fusing the erasure masking (erased slots forced to zero).
-        er0 = er_ref[...]
-        vals_out[...] = jnp.where(er0 != 0, jnp.uint32(0), vals_ref[...])
-        er_out[...] = er0
+        vals_out[...] = jnp.where(
+            emask_ref[...] != 0, jnp.uint32(0), vals_ref[...]
+        )
+        er_out[...] = er_ref[...]
         resid_scr[...] = resid_ref[...]
-        iters_out[...] = jnp.zeros((bt, 1), jnp.int32)
+        iters_out[...] = jnp.zeros((1, bt), jnp.int32)
         flag_smem[0] = 0
 
         def check_body(c, carry):
             idxs = [topo_ref[c, s] for s in range(dmax)]
-            offs = [pl.multiple_of(i * bt, bt) for i in idxs]
-            es = [er_out[pl.ds(o, bt), :] for o in offs]
+            es = [er_out[pl.ds(idxs[s], 1), :] for s in range(dmax)]
             cnt = es[0]
             for s in range(1, dmax):
                 cnt = cnt + es[s]
-            deg1 = cnt == 1  # (bt, 1): exactly one erased neighbor
+            deg1 = cnt == 1  # (1, bt): exactly one erased neighbor
 
             def wide_work():
+                offs = [pl.multiple_of(idxs[s] * bt, bt) for s in range(dmax)]
                 rows = [vals_out[pl.ds(o, bt), :] for o in offs]
                 acc = rows[0]
                 for s in range(1, dmax):
@@ -87,19 +97,20 @@ def _make_kernel(
                 for s in range(dmax):
                     cond = deg1 & (es[s] != 0)  # this slot is the erased one
                     condi = cond.astype(jnp.int32)
-                    vals_out[pl.ds(offs[s], bt), :] = jnp.where(
-                        cond, acc, rows[s]
-                    )
-                    er_out[pl.ds(offs[s], bt), :] = es[s] - condi
+                    er_out[pl.ds(idxs[s], 1), :] = es[s] - condi
                     in_k = jnp.where(
                         idxs[s] < k_stop, jnp.int32(1), jnp.int32(0)
                     )
                     resid_scr[...] = resid_scr[...] - condi * in_k
                     changed_scr[...] = changed_scr[...] + condi
+                    cond_f = jnp.transpose(condi) != 0  # (bt, 1) frame space
+                    vals_out[pl.ds(offs[s], bt), :] = jnp.where(
+                        cond_f, acc, rows[s]
+                    )
 
             if skip_idle:
                 # Idle checks (no degree-1 frame in the tile) skip all wide
-                # VMEM traffic: one vector reduce + scalar branch.
+                # VMEM traffic: one (1, bt) reduce + scalar branch.
                 flag_smem[1] = jnp.sum(deg1.astype(jnp.int32))
 
                 @pl.when(flag_smem[1] > 0)
@@ -112,7 +123,7 @@ def _make_kernel(
         def sweep_body(it, carry):
             @pl.when(flag_smem[0] == 0)
             def _():
-                changed_scr[...] = jnp.zeros((bt, 1), jnp.int32)
+                changed_scr[...] = jnp.zeros((1, bt), jnp.int32)
                 jax.lax.fori_loop(0, m, check_body, 0)
                 resid = resid_scr[...]
                 prev = iters_out[...]
@@ -161,9 +172,15 @@ def peel_decode_vmem(
         be passed directly, saving the apply_erasures HBM pass).
       erased: (B, n) bool.
       early_stop_k: stop a frame once its first ``early_stop_k`` symbols are
-        resolved (None = all n).
-      b_tile: frames held in VMEM per grid step. VMEM footprint is roughly
-        ``3 * b_tile * (n+1) * W * 4`` bytes (in + out + pipeline buffers).
+        resolved (None = all n). With early stop the PARITY-region residual
+        is stopping-schedule-dependent (this kernel stops per b_tile; the
+        XLA paths stop per whole batch) — the first-k region and every
+        resolved symbol's value are schedule-invariant and identical across
+        all implementations (the FPGA's contract too,
+        decoder_perf_tests.cl:205-210).
+      b_tile: frames held in VMEM per grid step. VMEM footprint is about
+        ``4 * b_tile * (n+1) * W * 4`` bytes (double-buffered in + out);
+        b_tile=8, W=256, n=2040 → ~67 MB of the chip's 128 MB.
 
     Returns (values, erased, iters) — (B, n, W), (B, n) bool, (B,) int32.
     """
@@ -176,22 +193,28 @@ def peel_decode_vmem(
     bp = ntiles * bt
 
     vpad = jnp.pad(values, ((0, bp - b), (0, 1), (0, 0)))
-    epad = jnp.pad(erased, ((0, bp - b), (0, 1))).astype(jnp.int32)
-    # Tile layout: (ntiles, n1*bt, W) with the tile's bt frames contiguous
-    # under each symbol row.
+    epad = jnp.pad(erased, ((0, bp - b), (0, 1)))
+    # Values: (ntiles, n1*bt, W), the tile's bt frames contiguous per symbol.
     vt = vpad.reshape(ntiles, bt, n1, w).swapaxes(1, 2).reshape(
         ntiles, n1 * bt, w
     )
-    et = epad.reshape(ntiles, bt, n1).swapaxes(1, 2).reshape(
-        ntiles, n1 * bt, 1
-    )
+    # Copy-in mask sidecar, same row order as vt.
+    emask = epad.astype(jnp.int8).reshape(ntiles, bt, n1).swapaxes(
+        1, 2
+    ).reshape(ntiles, n1 * bt, 1)
+    # Working erasure state, frames on the lane axis.
+    et = epad.astype(jnp.int32).reshape(ntiles, bt, n1).swapaxes(1, 2)
     resid = jnp.sum(
         epad[:, :k_stop], axis=1, dtype=jnp.int32
-    ).reshape(ntiles, bt, 1)
+    ).reshape(ntiles, 1, bt)
 
     kernel = _make_kernel(
         n=n, k_stop=k_stop, m=m, dmax=dmax, bt=bt, max_iters=max_iters,
         skip_idle=skip_idle,
+    )
+    vmem_limit = min(
+        112 * 1024 * 1024,
+        4 * (n1 * bt * w * 4 + n1 * max(bt, 128) * 4) + 8 * 1024 * 1024,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -206,7 +229,11 @@ def peel_decode_vmem(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, bt, 1), lambda i, topo: (i, 0, 0),
+                (None, n1, bt), lambda i, topo: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 1, bt), lambda i, topo: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -216,17 +243,17 @@ def peel_decode_vmem(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, n1 * bt, 1), lambda i, topo: (i, 0, 0),
+                (None, n1, bt), lambda i, topo: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, bt, 1), lambda i, topo: (i, 0, 0),
+                (None, 1, bt), lambda i, topo: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bt, 1), jnp.int32),
-            pltpu.VMEM((bt, 1), jnp.int32),
+            pltpu.VMEM((1, bt), jnp.int32),
+            pltpu.VMEM((1, bt), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
         ],
     )
@@ -235,18 +262,20 @@ def peel_decode_vmem(
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((ntiles, n1 * bt, w), jnp.uint32),
-            jax.ShapeDtypeStruct((ntiles, n1 * bt, 1), jnp.int32),
-            jax.ShapeDtypeStruct((ntiles, bt, 1), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, n1, bt), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, 1, bt), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit),
         ),
         interpret=interpret,
-    )(arrays.vlist_idx, vt, et, resid)
+    )(arrays.vlist_idx, vt, emask, et, resid)
 
     vals = vals_t.reshape(ntiles, n1, bt, w).swapaxes(1, 2).reshape(
         bp, n1, w
     )[:b, :n]
     er = (
-        er_t.reshape(ntiles, n1, bt).swapaxes(1, 2).reshape(bp, n1)[:b, :n]
-        != 0
+        er_t.swapaxes(1, 2).reshape(bp, n1)[:b, :n] != 0
     )
     iters = iters_t.reshape(bp)[:b]
     iters = jnp.where(iters == 0, jnp.int32(max_iters), iters)

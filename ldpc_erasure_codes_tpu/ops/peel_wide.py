@@ -33,20 +33,50 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ldpc_erasure_codes_tpu import gf
 from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
 
 
-def _sweep(arrays: CodeArrays, n: int, vt, ep, rows: slice = slice(None)):
+def _sweep(
+    arrays: CodeArrays,
+    n: int,
+    vt,
+    ep,
+    rows: slice = slice(None),
+    gf_order: int = 2,
+):
     """One symbol-major peeling sweep over check rows ``rows``.
 
     vt: (n+1, b, W) symbol-major padded values; ep: (b, n+1) padded mask.
+    GF(256): the check value is the coefficient-weighted syndrome of the
+    known neighbors times the erased slot's inverse coefficient
+    (My_LDPC_HybridML_NonBinary_Erasure_Decoder.m:37-48), computed with the
+    carryless VPU multiply (gf.gf_mul) — no table gathers in the sweep.
     """
     idx = arrays.vlist_idx[rows]  # (m', dmax) constants, pad = n
     yv = jnp.take(vt, idx, axis=0)  # (m, dmax, b, W)
-    val_c = jax.lax.reduce(yv, yv.dtype.type(0), jax.lax.bitwise_xor, (1,))
     ev = jnp.take(ep, idx, axis=1)  # (b, m, dmax)
     cnt = jnp.sum(ev, axis=2, dtype=jnp.int32)
     deg1 = cnt == 1  # (b, m)
+    if gf_order == 2:
+        val_c = jax.lax.reduce(
+            yv, yv.dtype.type(0), jax.lax.bitwise_xor, (1,)
+        )
+    else:
+        # uint32 lanes = four packed byte symbols (SWAR multiply, ~10x the
+        # uint8-lane carryless mul); uint8 lanes = one symbol each.
+        mul = gf.gf_mul_packed if vt.dtype == jnp.uint32 else gf.gf_mul
+        coef = arrays.vlist_val[rows][:, :, None, None]  # (m, dmax, 1, 1)
+        syn = jax.lax.reduce(
+            mul(yv, coef), yv.dtype.type(0), jax.lax.bitwise_xor, (1,)
+        )  # (m, b, W)
+        inv_sel = jnp.where(
+            ev, arrays.vlist_inv_val[rows][None], jnp.uint8(0)
+        )
+        coef_inv = jax.lax.reduce(
+            inv_sel, jnp.uint8(0), jax.lax.bitwise_xor, (2,)
+        )  # (b, m) — the erased slot's inverse coefficient (degree-1 rows)
+        val_c = mul(syn, coef_inv.T[:, :, None])
     target = jnp.sum(jnp.where(ev, idx[None], 0), axis=2, dtype=jnp.int32)
     safe = jnp.where(deg1, target, n)  # (b, m)
     vals = jnp.where(deg1.T[:, :, None], val_c, jnp.zeros((), val_c.dtype))
@@ -57,7 +87,7 @@ def _sweep(arrays: CodeArrays, n: int, vt, ep, rows: slice = slice(None)):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "early_stop_k", "split")
+    jax.jit, static_argnames=("max_iters", "early_stop_k", "split", "gf_order")
 )
 def peel_decode_wide(
     arrays: CodeArrays,
@@ -67,8 +97,9 @@ def peel_decode_wide(
     max_iters: int = 50,
     early_stop_k: int | None = None,
     split: int = 1,
+    gf_order: int = 2,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Wide binary peeling decode; same fixed point as
+    """Wide peeling decode (binary or GF(256)); same fixed point as
     ``peel_decode(impl="gather")``.
 
     ``split`` > 1 processes the checks in that many sequential sub-sweeps per
@@ -80,8 +111,11 @@ def peel_decode_wide(
     iteration counts included).
 
     Args:
-      values: (B, n, W) packed words, erased slots zero.
+      values: (B, n, W) packed words (uint32 for binary; uint8 byte symbols
+        for gf_order=256), erased slots zero.
       erased: (B, n) bool.
+      gf_order: 2 or 256 (symbol-major GF(256) sweeps use the carryless
+        multiply; ~same memory traffic as binary plus VPU MAC work).
 
     Returns (values, erased, iters).
     """
@@ -89,6 +123,15 @@ def peel_decode_wide(
     m = arrays.vlist_idx.shape[0]
     bounds = [round(i * m / split) for i in range(split + 1)]
     row_slices = [slice(bounds[i], bounds[i + 1]) for i in range(split)]
+
+    # GF(256) byte lanes: pack 4 symbols per uint32 for the SWAR multiply
+    # (pure bitcast — byte lanes are independent, so packing is layout-only).
+    packed_nb = gf_order == 256 and values.dtype == jnp.uint8 and w % 4 == 0
+    if packed_nb:
+        values = jax.lax.bitcast_convert_type(
+            values.reshape(b, n, w // 4, 4), jnp.uint32
+        )
+        w = w // 4
 
     def done_cols(ep):
         er = ep[:, :n] if early_stop_k is None else ep[:, :early_stop_k]
@@ -106,7 +149,7 @@ def peel_decode_wide(
         vt, ep, iters, it, _ = s
         prev = jnp.sum(ep, dtype=jnp.int32)
         for rs in row_slices:
-            vt, ep = _sweep(arrays, n, vt, ep, rs)
+            vt, ep = _sweep(arrays, n, vt, ep, rs, gf_order)
         it = it + 1
         newly = done_cols(ep) & (iters == 0)
         iters = jnp.where(newly, it, iters)
@@ -125,4 +168,9 @@ def peel_decode_wide(
     )
     iters = jnp.where(iters == 0, jnp.int32(max_iters), iters)
     iters = jnp.where(done_cols(ep0), jnp.int32(1), iters)
-    return jnp.moveaxis(vt[:n], 0, 1), ep[:, :n], iters
+    out_vals = jnp.moveaxis(vt[:n], 0, 1)
+    if packed_nb:
+        out_vals = jax.lax.bitcast_convert_type(
+            out_vals, jnp.uint8
+        ).reshape(b, n, 4 * w)
+    return out_vals, ep[:, :n], iters

@@ -315,3 +315,70 @@ class TestPeelDecodeWide:
                 np.testing.assert_array_equal(np.asarray(vw), np.asarray(vg))
                 if split == 1:
                     np.testing.assert_array_equal(np.asarray(iw), np.asarray(ig))
+
+    def test_matches_gather_nb(self):
+        """GF(256) symbol-major wide path: fixed point and iteration counts
+        equal the frame-major gather decoder at gf_order=256."""
+        import jax, jax.numpy as jnp
+        from ldpc_erasure_codes_tpu import channel as ch
+        from ldpc_erasure_codes_tpu.codes import toy_code
+        from ldpc_erasure_codes_tpu.ops import (
+            device_arrays,
+            encode_packed,
+            peel_decode,
+            peel_decode_wide,
+        )
+
+        code = toy_code(n=60, k=36, seed=2, gf_order=256)
+        arrays = device_arrays(code)
+        src = jax.random.bits(jax.random.key(5), (8, code.k, 6), dtype=jnp.uint8)
+        cw = encode_packed(arrays, src, gf_order=256)
+        for per, seed in [(0.12, 6), (0.2, 7)]:
+            mask = ch.iid_erasures(jax.random.key(seed), (8, code.n), per)
+            recv = ch.apply_erasures(cw, mask)
+            vg, eg, ig = peel_decode(
+                arrays, recv, mask, gf_order=256, max_iters=50
+            )
+            vw, ew, iw = peel_decode_wide(
+                arrays, recv, mask, gf_order=256, max_iters=50
+            )
+            np.testing.assert_array_equal(np.asarray(ew), np.asarray(eg))
+            np.testing.assert_array_equal(np.asarray(vw), np.asarray(vg))
+            np.testing.assert_array_equal(np.asarray(iw), np.asarray(ig))
+
+    def test_hybrid_wide_nb(self):
+        """hybrid_decode routes wide GF(256) frames through the symbol-major
+        path; full recovery matches the scalar-lane hybrid."""
+        import jax, jax.numpy as jnp
+        from ldpc_erasure_codes_tpu import channel as ch
+        from ldpc_erasure_codes_tpu.codes import toy_code
+        from ldpc_erasure_codes_tpu.ops import (
+            device_arrays,
+            encode_packed,
+            hybrid_decode,
+        )
+
+        code = toy_code(n=60, k=36, seed=2, gf_order=256)
+        arrays = device_arrays(code)
+        src = jax.random.bits(jax.random.key(8), (8, code.k, 4), dtype=jnp.uint8)
+        cw = encode_packed(arrays, src, gf_order=256)
+        mask = ch.iid_erasures(jax.random.key(9), (8, code.n), 0.12)
+        recv = ch.apply_erasures(cw, mask)
+        v, e, iters, failed = hybrid_decode(
+            arrays, recv, mask, gf_order=256, peel_iters=10, emax=32
+        )
+        v, e, failed = map(np.asarray, (v, e, failed))
+        cw_np, mask_np = np.asarray(cw), np.asarray(mask)
+        from ldpc_erasure_codes_tpu.utils import oracle
+
+        for f in range(8):
+            # Failure flags must agree with the oracle's singular verdict
+            # (the weak random toy code is genuinely ML-singular on several
+            # of these draws — that is the point of the comparison).
+            rv = np.where(mask_np[f], -1, cw_np[f, :, 0].astype(np.int64))
+            _, _, singular = oracle.hybrid_ml_decode_nb(code, rv)
+            assert bool(failed[f]) == bool(singular), f"frame {f}"
+            if not failed[f]:
+                assert not e[f].any()
+                np.testing.assert_array_equal(v[f], cw_np[f])
+        assert (~failed).any()

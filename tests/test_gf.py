@@ -133,3 +133,30 @@ class TestBitImage:
                     continue
             eye = gf.gf_matmul_np(A, Ainv)
             assert np.array_equal(eye, np.eye(12, dtype=np.uint8))
+
+
+def test_gf_mul_packed_exhaustive():
+    """SWAR packed multiply (4 byte symbols per uint32) equals the table
+    path over ALL 256x256 products, in every byte lane."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ldpc_erasure_codes_tpu import gf
+
+    t = gf.build_tables()
+    a = np.arange(256, dtype=np.uint8)
+    b = np.arange(256, dtype=np.uint8)
+    aa, bb = np.meshgrid(a, b, indexing="ij")
+    want = t.mul[aa, bb]  # (256, 256)
+    for lane in range(4):
+        words = np.zeros((256, 256, 4), dtype=np.uint8)
+        words[:, :, lane] = aa
+        w32 = np.ascontiguousarray(words).view("<u4")[..., 0]
+        got32 = np.asarray(
+            gf.gf_mul_packed(jnp.asarray(w32), jnp.asarray(bb))
+        )
+        got = got32.view("<u4").astype("<u4").tobytes()
+        got_bytes = np.frombuffer(got, dtype=np.uint8).reshape(256, 256, 4)
+        np.testing.assert_array_equal(got_bytes[:, :, lane], want)
+        # other lanes stay zero (no cross-lane contamination)
+        other = [x for x in range(4) if x != lane]
+        assert (got_bytes[:, :, other] == 0).all()
