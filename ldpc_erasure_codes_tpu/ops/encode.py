@@ -84,7 +84,19 @@ def encode_packed(
     nb = gf_order == 256
     if nb:
         lanes_first = jnp.moveaxis(source, 2, 1)  # (B, W, k)
-        cw = encode_nb(arrays, lanes_first)  # (B, W, n)
+        # The bit-image matmul folds (B, W) into one giant batch; chunk the
+        # lane axis so the folded operand stays bounded (B*W = 256k lanes of
+        # a k=1530 code is a ~3 GB int8 operand otherwise — HBM OOM).
+        limit = max(1, 32768 // max(1, b))
+        if w <= limit:
+            cw = encode_nb(arrays, lanes_first)  # (B, W, n)
+        else:
+            chunk = max(d for d in range(1, limit + 1) if w % d == 0)
+            xs = lanes_first.reshape(b, w // chunk, chunk, k).swapaxes(0, 1)
+            cw = jax.lax.map(
+                lambda x: encode_nb(arrays, x), xs
+            )  # (nc, B, chunk, n)
+            cw = cw.swapaxes(0, 1).reshape(b, w, -1)
         return jnp.moveaxis(cw, 1, 2)
 
     src_p = jnp.pad(source, ((0, 0), (0, 1), (0, 0)))  # pad col k reads zero
