@@ -52,14 +52,36 @@ from jax.experimental.pallas import tpu as pltpu
 from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
 
 
+def _xtime(v):
+    """SWAR multiply-by-x of four packed GF(256) bytes per uint32 lane
+    (prim poly 0x171 — gf.ops._xtime_packed, restated for Mosaic)."""
+    hi = (v >> 7) & jnp.uint32(0x01010101)
+    return ((v << 1) & jnp.uint32(0xFEFEFEFE)) ^ (hi * jnp.uint32(0x71))
+
+
+def _gf_mul_scalar(v, coef):
+    """Packed-byte GF(256) multiply of a (bt, W) uint32 tile by a SCALAR
+    coefficient (SMEM value): double-and-add over the coefficient's bits."""
+    acc = jnp.zeros_like(v)
+    cur = v
+    for i in range(8):
+        bit = ((coef >> i) & 1).astype(jnp.uint32)
+        acc = acc ^ (cur * bit)
+        if i < 7:
+            cur = _xtime(cur)
+    return acc
+
+
 def _make_kernel(
     *, n: int, k_stop: int, m: int, dmax: int, bt: int, max_iters: int,
-    skip_idle: bool,
+    skip_idle: bool, cond_stores: bool, gf_order: int,
 ):
     n1 = n + 1
 
     def kernel(
         topo_ref,   # (m, dmax) int32 SMEM (scalar prefetch), pad = n
+        coef_ref,   # (m, dmax) int32 SMEM: GF coefficients, pad = 0
+        inv_ref,    # (m, dmax) int32 SMEM: inverse coefficients, pad = 0
         vals_ref,   # (n1*bt, W) uint32 VMEM in
         emask_ref,  # (n1*bt, 1) int8 VMEM in (copy-in masking only)
         er_ref,     # (n1, bt) int32 VMEM in
@@ -69,7 +91,7 @@ def _make_kernel(
         iters_out,  # (1, bt) int32 VMEM out
         resid_scr,  # (1, bt) int32 VMEM scratch
         changed_scr,  # (1, bt) int32 VMEM scratch
-        flag_smem,  # (2,) int32 SMEM scratch: [done, deg1_any]
+        flag_smem,  # (3,) int32 SMEM scratch: [done, deg1_any, slot_bits]
     ):
         # Copy-in, fusing the erasure masking (erased slots forced to zero).
         vals_out[...] = jnp.where(
@@ -91,12 +113,31 @@ def _make_kernel(
             def wide_work():
                 offs = [pl.multiple_of(idxs[s] * bt, bt) for s in range(dmax)]
                 rows = [vals_out[pl.ds(o, bt), :] for o in offs]
-                acc = rows[0]
-                for s in range(1, dmax):
-                    acc = acc ^ rows[s]
-                for s in range(dmax):
-                    cond = deg1 & (es[s] != 0)  # this slot is the erased one
-                    condi = cond.astype(jnp.int32)
+                if gf_order == 2:
+                    acc = rows[0]
+                    for s in range(1, dmax):
+                        acc = acc ^ rows[s]
+                else:
+                    # Horner over the coefficient bits: 8 packed xtimes of
+                    # the ACCUMULATOR total (not per slot), one scalar-
+                    # selected XOR per (bit, slot). acc = sum_s coef_s (x) v_s
+                    # = each check's weighted syndrome; the erased slot holds
+                    # zero and contributes nothing regardless of coefficient.
+                    coefs = [coef_ref[c, s] for s in range(dmax)]
+                    acc = jnp.zeros_like(rows[0])
+                    for bit in range(7, -1, -1):
+                        if bit < 7:
+                            acc = _xtime(acc)
+                        for s in range(dmax):
+                            bv = ((coefs[s] >> bit) & 1).astype(jnp.uint32)
+                            acc = acc ^ (rows[s] * bv)
+                conds = [
+                    (deg1 & (es[s] != 0)).astype(jnp.int32)
+                    for s in range(dmax)
+                ]  # per slot: this slot is the erased one
+
+                def slot_update(s):
+                    condi = conds[s]
                     er_out[pl.ds(idxs[s], 1), :] = es[s] - condi
                     in_k = jnp.where(
                         idxs[s] < k_stop, jnp.int32(1), jnp.int32(0)
@@ -104,9 +145,40 @@ def _make_kernel(
                     resid_scr[...] = resid_scr[...] - condi * in_k
                     changed_scr[...] = changed_scr[...] + condi
                     cond_f = jnp.transpose(condi) != 0  # (bt, 1) frame space
+                    if gf_order == 2:
+                        val = acc
+                    else:
+                        # Solved symbol = inv(h_e) (x) weighted syndrome
+                        # (My_LDPC_HybridML_NonBinary_Erasure_Decoder.m:44-48).
+                        val = _gf_mul_scalar(acc, inv_ref[c, s])
                     vals_out[pl.ds(offs[s], bt), :] = jnp.where(
-                        cond_f, acc, rows[s]
+                        cond_f, val, rows[s]
                     )
+
+                if cond_stores:
+                    # Degree-1 means exactly one erased slot per frame, so
+                    # only ~1 of dmax slots has any event across the tile:
+                    # pack per-slot event flags into one scalar bitmask (a
+                    # single vector->SMEM roundtrip) and store only the
+                    # eventful slots. MEASURED NEGATIVE on v5e for binary
+                    # (78.8 vs 98.5 Gbps) AND GF(256) (55.2 vs 64.0): the
+                    # vector->SMEM->branch round trips stall the pipelines
+                    # for more than the skipped stores / inverse multiplies
+                    # cost. Default False; kept as a research knob.
+                    bits = jnp.int32(0)
+                    for s in range(dmax):
+                        bits = bits + jnp.where(
+                            jnp.sum(conds[s]) > 0, jnp.int32(1 << s), 0
+                        )
+                    flag_smem[2] = bits
+                    ev_bits = flag_smem[2]
+                    for s in range(dmax):
+                        @pl.when(((ev_bits >> s) & 1) == 1)
+                        def _(s=s):
+                            slot_update(s)
+                else:
+                    for s in range(dmax):
+                        slot_update(s)
 
             if skip_idle:
                 # Idle checks (no degree-1 frame in the tile) skip all wide
@@ -146,7 +218,8 @@ def _make_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_iters", "early_stop_k", "b_tile", "skip_idle", "interpret"
+        "max_iters", "early_stop_k", "b_tile", "skip_idle",
+        "cond_stores", "gf_order", "interpret",
     ),
 )
 def peel_decode_vmem(
@@ -158,6 +231,8 @@ def peel_decode_vmem(
     early_stop_k: int | None = None,
     b_tile: int = 8,
     skip_idle: bool = True,
+    cond_stores: bool | None = None,
+    gf_order: int = 2,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """VMEM-resident peeling decode; sequential (MATLAB) schedule.
@@ -167,7 +242,9 @@ def peel_decode_vmem(
     the oracle's, not the Jacobi path's).
 
     Args:
-      values: (B, n, W) packed uint32 words. Erased slots may hold anything:
+      values: (B, n, W) packed uint32 words for binary; (B, n, W) uint8
+        byte symbols (W % 4 == 0) for gf_order=256, SWAR-packed 4-per-uint32
+        internally via pure bitcast. Erased slots may hold anything:
         masking is fused into the kernel (so the un-erased channel output can
         be passed directly, saving the apply_erasures HBM pass).
       erased: (B, n) bool.
@@ -178,7 +255,10 @@ def peel_decode_vmem(
         resolved symbol's value are schedule-invariant and identical across
         all implementations (the FPGA's contract too,
         decoder_perf_tests.cl:205-210).
-      b_tile: frames held in VMEM per grid step. VMEM footprint is about
+      b_tile: frames held in VMEM per grid step; must be a multiple of 8
+        on hardware (Mosaic requires sublane-aligned dynamic slices — bt=4
+        fails to compile; any value works in interpret mode).
+        VMEM footprint is about
         ``4 * b_tile * (n+1) * W * 4`` bytes (double-buffered in + out);
         b_tile=8, W=256, n=2040 → ~67 MB of the chip's 128 MB.
 
@@ -191,6 +271,24 @@ def peel_decode_vmem(
     n1 = n + 1
     ntiles = -(-b // bt)
     bp = ntiles * bt
+    if cond_stores is None:
+        # Measured on v5e: scalar-bitmask store skipping LOSES for both
+        # binary (78.8 vs 98.5 Gbps) and GF(256) (55.2 vs 64.0 Gbps at
+        # S=8192) — the vector->SMEM->branch round trips stall the pipelines
+        # for more than the skipped stores / inverse multiplies cost. Kept
+        # as a research knob.
+        cond_stores = False
+
+    packed_nb = gf_order == 256
+    if packed_nb:
+        if values.dtype != jnp.uint8 or w % 4 != 0:
+            raise ValueError(
+                "gf_order=256 needs uint8 values with W a multiple of 4"
+            )
+        values = jax.lax.bitcast_convert_type(
+            values.reshape(b, n, w // 4, 4), jnp.uint32
+        )
+        w = w // 4
 
     vpad = jnp.pad(values, ((0, bp - b), (0, 1), (0, 0)))
     epad = jnp.pad(erased, ((0, bp - b), (0, 1)))
@@ -210,51 +308,60 @@ def peel_decode_vmem(
 
     kernel = _make_kernel(
         n=n, k_stop=k_stop, m=m, dmax=dmax, bt=bt, max_iters=max_iters,
-        skip_idle=skip_idle,
+        skip_idle=skip_idle, cond_stores=cond_stores, gf_order=gf_order,
     )
+    # Large tiles (e.g. W=512 / S=16384 at bt=8) exceed VMEM when the
+    # pipeline double-buffers the two big value operands; drop those to
+    # single buffering (compute >> copy time at these shapes, so the lost
+    # overlap is negligible).
+    vals_bytes = n1 * bt * w * 4
+    nbuf = 2 if 4 * vals_bytes <= 96 * 1024 * 1024 else 1
+    big_mode = None if nbuf == 2 else pl.Buffered(buffer_count=1)
     vmem_limit = min(
         112 * 1024 * 1024,
-        4 * (n1 * bt * w * 4 + n1 * max(bt, 128) * 4) + 8 * 1024 * 1024,
+        2 * nbuf * vals_bytes
+        + 4 * n1 * max(bt, 128) * 4
+        + 8 * 1024 * 1024,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(
-                (None, n1 * bt, w), lambda i, topo: (i, 0, 0),
+                (None, n1 * bt, w), lambda i, topo, cf, iv: (i, 0, 0),
+                memory_space=pltpu.VMEM, pipeline_mode=big_mode,
+            ),
+            pl.BlockSpec(
+                (None, n1 * bt, 1), lambda i, topo, cf, iv: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, n1 * bt, 1), lambda i, topo: (i, 0, 0),
+                (None, n1, bt), lambda i, topo, cf, iv: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, n1, bt), lambda i, topo: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, 1, bt), lambda i, topo: (i, 0, 0),
+                (None, 1, bt), lambda i, topo, cf, iv: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (None, n1 * bt, w), lambda i, topo: (i, 0, 0),
+                (None, n1 * bt, w), lambda i, topo, cf, iv: (i, 0, 0),
+                memory_space=pltpu.VMEM, pipeline_mode=big_mode,
+            ),
+            pl.BlockSpec(
+                (None, n1, bt), lambda i, topo, cf, iv: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, n1, bt), lambda i, topo: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, 1, bt), lambda i, topo: (i, 0, 0),
+                (None, 1, bt), lambda i, topo, cf, iv: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         scratch_shapes=[
             pltpu.VMEM((1, bt), jnp.int32),
             pltpu.VMEM((1, bt), jnp.int32),
-            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((3,), jnp.int32),
         ],
     )
     vals_t, er_t, iters_t = pl.pallas_call(
@@ -269,11 +376,20 @@ def peel_decode_vmem(
             vmem_limit_bytes=int(vmem_limit),
         ),
         interpret=interpret,
-    )(arrays.vlist_idx, vt, emask, et, resid)
+    )(
+        arrays.vlist_idx,
+        arrays.vlist_val.astype(jnp.int32),
+        arrays.vlist_inv_val.astype(jnp.int32),
+        vt, emask, et, resid,
+    )
 
     vals = vals_t.reshape(ntiles, n1, bt, w).swapaxes(1, 2).reshape(
         bp, n1, w
     )[:b, :n]
+    if packed_nb:
+        vals = jax.lax.bitcast_convert_type(vals, jnp.uint8).reshape(
+            b, n, 4 * w
+        )
     er = (
         er_t.swapaxes(1, 2).reshape(bp, n1)[:b, :n] != 0
     )

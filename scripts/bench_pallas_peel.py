@@ -36,13 +36,14 @@ def main() -> None:
     reps = int(os.environ.get("BP_REPS", "3" if quick else "10"))
     bt = int(os.environ.get("BP_TILE", "8"))
     skip_idle = os.environ.get("BP_SKIP_IDLE", "1") == "1"
+    cond_stores = os.environ.get("BP_COND_STORES", "1") == "1"
     symbol_bits = 32 * w
 
     key = jax.random.key(0)
     src = jax.random.bits(key, (b, code.k, w), dtype=jnp.uint32)
     cw = jax.block_until_ready(encode_packed(arrays, src))
-    print(f"encoded B={b} W={w} per={per} bt={bt} skip_idle={skip_idle}",
-          flush=True)
+    print(f"encoded B={b} W={w} per={per} bt={bt} skip_idle={skip_idle} "
+          f"cond_stores={cond_stores}", flush=True)
 
     def digest(values):
         return jnp.bitwise_xor.reduce(
@@ -55,7 +56,7 @@ def main() -> None:
         # No apply_erasures: masking is fused into the kernel copy-in.
         values, erased, iters = peel_decode_vmem(
             arrays, cw, mask, max_iters=50, early_stop_k=code.k,
-            b_tile=bt, skip_idle=skip_idle,
+            b_tile=bt, skip_idle=skip_idle, cond_stores=cond_stores,
         )
         return (jnp.sum(erased[:, : code.k], dtype=jnp.int32),
                 jnp.max(iters), digest(values))
@@ -78,7 +79,7 @@ def main() -> None:
     vp, ep, ip = jax.block_until_ready(
         peel_decode_vmem(arrays, cw, mask, max_iters=50,
                          early_stop_k=code.k, b_tile=bt,
-                         skip_idle=skip_idle)
+                         skip_idle=skip_idle, cond_stores=cond_stores)
     )
     print(f"pallas compile+run {time.perf_counter()-t0:.1f}s", flush=True)
     vx, ex, ix = jax.block_until_ready(

@@ -111,12 +111,73 @@ def test_early_stop_k_and_batch_padding():
             )
 
 
-def test_skip_idle_identical():
+def test_nb_matches_oracle_bit_exact():
+    """GF(256) kernel: every byte lane equals the oracle's sequential NB
+    sweep (values, masks, iteration counts)."""
+    from ldpc_erasure_codes_tpu.codes import toy_code
+    from ldpc_erasure_codes_tpu.ops import encode_packed
+
+    code = toy_code(n=60, k=36, seed=2, gf_order=256)
+    arrays = device_arrays(code)
+    b, w, per = 6, 4, 0.15
+    key = jax.random.key(11)
+    src = jax.random.bits(key, (b, code.k, w), dtype=jnp.uint8)
+    cw = encode_packed(arrays, src, gf_order=256)
+    mask = jax.random.uniform(jax.random.fold_in(key, 1), (b, code.n)) < per
+    recv = jnp.where(mask[:, :, None], jnp.uint8(0), cw)
+    v, e, iters = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, gf_order=256, b_tile=4,
+        interpret=True,
+    )
+    v, e, iters = map(np.asarray, (v, e, iters))
+    cw_np, mask_np = np.asarray(cw), np.asarray(mask)
+    for f in range(b):
+        for lane in range(w):
+            rv = np.where(
+                mask_np[f], oracle.ERASED, cw_np[f, :, lane].astype(np.int64)
+            )
+            o_out, o_iters = oracle.peel_decode_nb(code, rv, max_iters=50)
+            np.testing.assert_array_equal(
+                e[f], o_out == oracle.ERASED, err_msg=f"frame {f} mask"
+            )
+            np.testing.assert_array_equal(
+                v[f, :, lane][~e[f]],
+                cw_np[f, :, lane][~e[f]],
+                err_msg=f"frame {f} lane {lane} values",
+            )
+            assert iters[f] == o_iters, f"frame {f}"
+
+
+def test_nb_fixed_point_matches_xla_wide():
+    from ldpc_erasure_codes_tpu.codes import toy_code
+    from ldpc_erasure_codes_tpu.ops import encode_packed
+    from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
+
+    code = toy_code(n=60, k=36, seed=2, gf_order=256)
+    arrays = device_arrays(code)
+    b, w = 8, 8
+    key = jax.random.key(12)
+    src = jax.random.bits(key, (b, code.k, w), dtype=jnp.uint8)
+    cw = encode_packed(arrays, src, gf_order=256)
+    mask = jax.random.uniform(jax.random.fold_in(key, 1), (b, code.n)) < 0.2
+    recv = jnp.where(mask[:, :, None], jnp.uint8(0), cw)
+    v_p, e_p, _ = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, gf_order=256, interpret=True
+    )
+    v_x, e_x, _ = peel_decode_wide(
+        arrays, recv, mask, max_iters=50, gf_order=256
+    )
+    np.testing.assert_array_equal(np.asarray(e_p), np.asarray(e_x))
+    np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_x))
+
+
+def test_skip_idle_and_cond_stores_identical():
     code = get_code("n2000_k1000")
     arrays, cw, recv, mask = _make_case(code, 4, 1, 0.3, seed=4)
     out_a = peel_decode_vmem(arrays, recv, mask, skip_idle=True,
-                             interpret=True)
-    out_b = peel_decode_vmem(arrays, recv, mask, skip_idle=False,
-                             interpret=True)
-    for a, b_ in zip(out_a, out_b):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+                             cond_stores=True, interpret=True)
+    for skip, conds in [(False, True), (True, False), (False, False)]:
+        out_b = peel_decode_vmem(arrays, recv, mask, skip_idle=skip,
+                                 cond_stores=conds, interpret=True)
+        for a, b_ in zip(out_a, out_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
