@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
 from ldpc_erasure_codes_tpu.ops.compact import compact_ge_solve
 from ldpc_erasure_codes_tpu.ops.ge import ge_solve
+from ldpc_erasure_codes_tpu.ops.pallas_peel import peel_decode_vmem
 from ldpc_erasure_codes_tpu.ops.peel import peel_decode
 from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
 
@@ -49,10 +50,16 @@ def hybrid_decode(
 
     Returns (values, erased, iters, failed).
     """
-    if values.ndim == 3 and impl == "gather":
-        # Wide frames use the symbol-major decoder (same fixed point and
+    if values.ndim == 3 and impl == "vmem":
+        # Production wide path: the VMEM-resident Pallas decoder (binary or
+        # GF(256); frames stay on chip across the whole peel loop).
+        values, erased, iters = peel_decode_vmem(
+            arrays, values, erased, max_iters=peel_iters, gf_order=gf_order
+        )
+    elif values.ndim == 3 and impl == "gather":
+        # Wide frames use the symbol-major XLA decoder (same fixed point and
         # iteration accounting; ~2x the frame-major step for binary, and the
-        # production GF(256) wide path — carryless MACs, no table gathers).
+        # GF(256) wide path — SWAR packed MACs, no table gathers).
         values, erased, iters = peel_decode_wide(
             arrays, values, erased, max_iters=peel_iters, gf_order=gf_order
         )

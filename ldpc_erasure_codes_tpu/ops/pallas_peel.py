@@ -271,6 +271,10 @@ def peel_decode_vmem(
     n1 = n + 1
     ntiles = -(-b // bt)
     bp = ntiles * bt
+    if not interpret and jax.default_backend() == "cpu":
+        # No Mosaic on the CPU backend — fall back to the interpreter so
+        # callers (hybrid_decode, sims, tests) are backend-agnostic.
+        interpret = True
     if cond_stores is None:
         # Measured on v5e: scalar-bitmask store skipping LOSES for both
         # binary (78.8 vs 98.5 Gbps) and GF(256) (55.2 vs 64.0 Gbps at

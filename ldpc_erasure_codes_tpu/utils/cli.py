@@ -78,8 +78,13 @@ def cmd_sim(args) -> int:
     return 0
 
 
-def make_throughput_step(code, arrays, *, batch: int, per: float, max_iters: int):
-    """Jitted throughput step: on-device channel draw + wide value decode.
+def make_throughput_step(
+    code, arrays, *, batch: int, per: float, max_iters: int,
+    impl: str = "pallas",
+):
+    """Jitted throughput step: on-device channel draw + wide value decode
+    (impl 'pallas' = the production VMEM-resident kernel, masking fused
+    into its copy-in; 'xla' = the symbol-major peel_decode_wide path).
 
     The returned step's outputs DEPEND on the codeword values (an XOR digest
     of the decoded symbols, as bench.py): mask evolution is value-
@@ -92,15 +97,21 @@ def make_throughput_step(code, arrays, *, batch: int, per: float, max_iters: int
     import jax.numpy as jnp
 
     from ldpc_erasure_codes_tpu import channel as ch
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import peel_decode_vmem
     from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
 
     @jax.jit
     def step(key, cw):
         mask = ch.iid_erasures(key, (batch, code.n), per)
-        recv = ch.apply_erasures(cw, mask)
-        values, erased, _ = peel_decode_wide(
-            arrays, recv, mask, max_iters=max_iters, early_stop_k=code.k
-        )
+        if impl == "pallas":
+            values, erased, _ = peel_decode_vmem(
+                arrays, cw, mask, max_iters=max_iters, early_stop_k=code.k
+            )
+        else:
+            recv = ch.apply_erasures(cw, mask)
+            values, erased, _ = peel_decode_wide(
+                arrays, recv, mask, max_iters=max_iters, early_stop_k=code.k
+            )
         digest = jnp.bitwise_xor.reduce(
             jnp.bitwise_xor.reduce(values, axis=1), axis=0
         )
@@ -124,7 +135,8 @@ def cmd_throughput(args) -> int:
     cw = jax.block_until_ready(encode_packed(arrays, src))
 
     step = make_throughput_step(
-        code, arrays, batch=b, per=args.per, max_iters=args.max_iters
+        code, arrays, batch=b, per=args.per, max_iters=args.max_iters,
+        impl=args.impl,
     )
     jax.block_until_ready(step(jax.random.fold_in(key, 999), cw))
     t0 = time.perf_counter()
@@ -407,6 +419,7 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--batch", type=int, default=512)
     pt.add_argument("--symbol-words", type=int, default=256)
     pt.add_argument("--max-iters", type=int, default=50)
+    pt.add_argument("--impl", default="pallas", choices=["pallas", "xla"])
     pt.add_argument("--reps", type=int, default=20)
     pt.set_defaults(fn=cmd_throughput)
 

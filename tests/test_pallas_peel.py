@@ -181,3 +181,21 @@ def test_skip_idle_and_cond_stores_identical():
                                  cond_stores=conds, interpret=True)
         for a, b_ in zip(out_a, out_b):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_hybrid_vmem_impl():
+    """hybrid_decode(impl='vmem') routes peeling through the Pallas kernel
+    (auto-interpreted on CPU) and matches the gather-routed hybrid."""
+    from ldpc_erasure_codes_tpu.ops import hybrid_decode
+
+    code = get_code("n2000_k1000")
+    arrays, cw, recv, mask = _make_case(code, 8, 2, 0.3, seed=6)
+    v1, e1, _, f1 = hybrid_decode(
+        arrays, recv, mask, peel_iters=20, emax=128, impl="vmem"
+    )
+    v2, e2, _, f2 = hybrid_decode(
+        arrays, recv, mask, peel_iters=20, emax=128
+    )
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
