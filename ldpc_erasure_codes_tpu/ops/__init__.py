@@ -12,6 +12,7 @@ from ldpc_erasure_codes_tpu.ops.encode import (
 )
 from ldpc_erasure_codes_tpu.ops.ge import ge_rank_check, ge_solve
 from ldpc_erasure_codes_tpu.ops.pallas_channel import channel_apply_per64
+from ldpc_erasure_codes_tpu.ops.pallas_encode import encode_packed_vmem
 from ldpc_erasure_codes_tpu.ops.pallas_peel import peel_decode_vmem
 from ldpc_erasure_codes_tpu.ops.hybrid import hybrid_decode
 from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
@@ -32,6 +33,7 @@ __all__ = [
     "encode",
     "encode_nb",
     "encode_packed",
+    "encode_packed_vmem",
     "encode_scan",
     "encode_wide",
     "ge_rank_check",

@@ -1,0 +1,180 @@
+"""Pallas TPU kernel: VMEM-resident systematic triangular encoder.
+
+Companion to :mod:`ops.pallas_peel`: a tile of ``bt`` frames' source blocks
+is staged into VMEM, the parity region is computed by one sequential pass
+over the m parity rows — exactly the reference's back-substitution
+p_i = H[i, :k+i] . v[:k+i] (Matlab/LDPCErasureCodes_MessagePassingAlgSim.m:
+164-174; FPGA kernel OpenCL/device/ldpc_erasure_encoder.cl:72-84) — and the
+finished codewords leave for HBM once. Each row's work is a handful of
+sublane-aligned (bt, W) slice-XORs with indices scalar-prefetched from SMEM
+(source-region neighbors from ``enc_src_idx``, strictly-lower parity
+neighbors from ``enc_par_idx``); the XLA scan encoder re-streams its gather
+through HBM instead and tops out ~10x lower (docs/DESIGN.md).
+
+GF(256): each neighbor term is a packed-byte multiply by the edge
+coefficient (Horner form over the coefficient bits, as the decode kernel)
+and the row closes with a multiply by the inverse diagonal coefficient
+(ErasureCodes_NonBinaryLDPCSim.m:172-182). Byte symbols ride 4-per-uint32
+via pure bitcast — the same memory layout as binary.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
+from ldpc_erasure_codes_tpu.ops.pallas_peel import _gf_mul_scalar
+
+
+def _make_kernel(
+    *, n: int, k: int, m: int, dmax: int, pmax: int, bt: int, gf_order: int
+):
+    # Column layout of the single prefetched topology table (one SMEM
+    # operand: each prefetch operand costs a fixed 256 KB scoped SMEM slot,
+    # and five of them blow the 1 MB budget).
+    c_sidx, c_sval = 0, dmax
+    c_pidx, c_pval = 2 * dmax, 2 * dmax + pmax
+    c_dinv = 2 * dmax + 2 * pmax
+
+    def kernel(
+        tab_ref,   # (m, 2*dmax + 2*pmax + 1) int32 SMEM:
+                   # [src idx | src coef | par idx | par coef | diag inv]
+        src_ref,   # ((k+1)*bt, W) uint32 VMEM in; pad row k is zero
+        out_ref,   # ((n+1)*bt, W) uint32 VMEM out; row n is the parity pad
+    ):
+        # Systematic prefix: pass the source block through. The parity pad
+        # row (slot n, the enc_par_idx pad target) must be zero BEFORE the
+        # row loop: binary pad terms XOR it in verbatim.
+        out_ref[pl.ds(0, k * bt), :] = src_ref[pl.ds(0, k * bt), :]
+        out_ref[pl.ds(n * bt, bt), :] = jnp.zeros(
+            (bt, out_ref.shape[1]), jnp.uint32
+        )
+
+        def row_body(i, carry):
+            acc = jnp.zeros((bt, out_ref.shape[1]), jnp.uint32)
+            for s in range(dmax):
+                idx = tab_ref[i, c_sidx + s]
+                term = src_ref[pl.ds(pl.multiple_of(idx * bt, bt), bt), :]
+                if gf_order != 2:
+                    term = _gf_mul_scalar(term, tab_ref[i, c_sval + s])
+                acc = acc ^ term
+            for s in range(pmax):
+                pidx = tab_ref[i, c_pidx + s]
+                off = pl.multiple_of((k * bt) + pidx * bt, bt)
+                term = out_ref[pl.ds(off, bt), :]
+                if gf_order != 2:
+                    term = _gf_mul_scalar(term, tab_ref[i, c_pval + s])
+                acc = acc ^ term
+            if gf_order != 2:
+                acc = _gf_mul_scalar(acc, tab_ref[i, c_dinv])
+            out_ref[pl.ds(pl.multiple_of((k + i) * bt, bt), bt), :] = acc
+            return carry
+
+        jax.lax.fori_loop(0, m, row_body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gf_order", "b_tile", "interpret")
+)
+def encode_packed_vmem(
+    arrays: CodeArrays,
+    source: jax.Array,
+    *,
+    gf_order: int = 2,
+    b_tile: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """VMEM-resident packed systematic encode: (B, k, W) -> (B, n, W).
+
+    Bit-identical to :func:`ops.encode.encode_packed` (asserted in
+    tests/test_pallas_encode.py). ``source`` is uint32 words for binary, or
+    uint8 byte symbols (W % 4 == 0) for gf_order=256. ``b_tile`` must be a
+    multiple of 8 on hardware.
+    """
+    b, k, w = source.shape
+    m, dmax = arrays.enc_src_idx.shape
+    pmax = arrays.enc_par_idx.shape[1]
+    n = k + m
+    bt = int(b_tile)
+    ntiles = -(-b // bt)
+    bp = ntiles * bt
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+
+    packed_nb = gf_order == 256
+    if packed_nb:
+        if source.dtype != jnp.uint8 or w % 4 != 0:
+            raise ValueError(
+                "gf_order=256 needs uint8 source with W a multiple of 4"
+            )
+        source = jax.lax.bitcast_convert_type(
+            source.reshape(b, k, w // 4, 4), jnp.uint32
+        )
+        w = w // 4
+    source = source.astype(jnp.uint32)
+
+    spad = jnp.pad(source, ((0, bp - b), (0, 1), (0, 0)))  # pad row k zero
+    st = spad.reshape(ntiles, bt, k + 1, w).swapaxes(1, 2).reshape(
+        ntiles, (k + 1) * bt, w
+    )
+
+    kernel = _make_kernel(
+        n=n, k=k, m=m, dmax=dmax, pmax=pmax, bt=bt, gf_order=gf_order
+    )
+    out_bytes = (n + 1) * bt * w * 4
+    in_bytes = (k + 1) * bt * w * 4
+    nbuf = 2 if 2 * (out_bytes + in_bytes) <= 96 * 1024 * 1024 else 1
+    big_mode = None if nbuf == 2 else pl.Buffered(buffer_count=1)
+    tab = jnp.concatenate(
+        [
+            arrays.enc_src_idx,
+            arrays.enc_src_val.astype(jnp.int32),
+            arrays.enc_par_idx,
+            arrays.enc_par_val.astype(jnp.int32),
+            arrays.enc_diag_inv.astype(jnp.int32)[:, None],
+        ],
+        axis=1,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (None, (k + 1) * bt, w),
+                lambda i, tab: (i, 0, 0),
+                memory_space=pltpu.VMEM, pipeline_mode=big_mode,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, (n + 1) * bt, w),
+            lambda i, tab: (i, 0, 0),
+            memory_space=pltpu.VMEM, pipeline_mode=big_mode,
+        ),
+    )
+    out_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ntiles, (n + 1) * bt, w), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                min(
+                    112 * 1024 * 1024,
+                    nbuf * (out_bytes + in_bytes) + 8 * 1024 * 1024,
+                )
+            ),
+        ),
+        interpret=interpret,
+    )(tab, st)
+    cw = out_t.reshape(ntiles, n + 1, bt, w).swapaxes(1, 2).reshape(
+        bp, n + 1, w
+    )[:b, :n]
+    if packed_nb:
+        cw = jax.lax.bitcast_convert_type(cw, jnp.uint8).reshape(b, n, 4 * w)
+    return cw

@@ -86,6 +86,19 @@ def _decode(
     d = cfg.decoder
     early = k if d.early_stop_k else None
     if d.kind == "peel":
+        if d.impl == "vmem" and values.ndim == 3:
+            # Production wide value path: the VMEM-resident Pallas decoder.
+            from ldpc_erasure_codes_tpu.ops.pallas_peel import peel_decode_vmem
+
+            v, e, iters = peel_decode_vmem(
+                arrays,
+                values,
+                erased,
+                gf_order=cfg.gf_order,
+                max_iters=d.max_iters,
+                early_stop_k=early,
+            )
+            return v, e, iters, None
         v, e, iters = peel_decode(
             arrays,
             values,

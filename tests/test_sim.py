@@ -249,3 +249,36 @@ def test_measure_scaling_virtual_mesh():
     assert pts[0].efficiency == 1.0
     assert pts[1].frames == 2 * pts[0].frames
     assert all(p.frames_per_sec > 0 for p in pts)
+
+
+def test_value_sim_vmem_impl_matches_gather():
+    """Value-tracking sim with decoder impl='vmem' (the production Pallas
+    path) produces the same statistics as the XLA gather path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldpc_erasure_codes_tpu.codes import get_code
+    from ldpc_erasure_codes_tpu.sim import DecoderConfig, SimConfig
+    from ldpc_erasure_codes_tpu.sim.driver import make_sim_step
+
+    code = get_code("n2000_k1000")
+    outs = []
+    for impl in ("gather", "vmem"):
+        cfg = SimConfig(
+            code=code.name,
+            batch=8,
+            symbol_words=2,
+            track_values=True,
+            decoder=DecoderConfig(
+                kind="peel", max_iters=30, early_stop_k=True, impl=impl
+            ),
+        )
+        step = make_sim_step(code, cfg)
+        stats = jax.block_until_ready(
+            step(jax.random.key(5), jnp.float32(0.3))
+        )
+        outs.append(stats)
+    a, b = outs
+    assert int(a.frames) == int(b.frames)
+    assert int(a.block_errors) == int(b.block_errors)
+    assert int(a.erased_symbols) == int(b.erased_symbols)
