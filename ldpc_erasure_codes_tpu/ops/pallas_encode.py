@@ -107,6 +107,11 @@ def encode_packed_vmem(
     bp = ntiles * bt
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
+    if not interpret and bt % 8 != 0:
+        raise ValueError(
+            f"b_tile={bt} must be a multiple of 8 on hardware (Mosaic "
+            "sublane-aligned dynamic slices)"
+        )
 
     packed_nb = gf_order == 256
     if packed_nb:

@@ -275,6 +275,11 @@ def peel_decode_vmem(
         # No Mosaic on the CPU backend — fall back to the interpreter so
         # callers (hybrid_decode, sims, tests) are backend-agnostic.
         interpret = True
+    if not interpret and bt % 8 != 0:
+        raise ValueError(
+            f"b_tile={bt} must be a multiple of 8 on hardware (Mosaic "
+            "sublane-aligned dynamic slices)"
+        )
     if cond_stores is None:
         # Measured on v5e: scalar-bitmask store skipping LOSES for both
         # binary (78.8 vs 98.5 Gbps) and GF(256) (55.2 vs 64.0 Gbps at

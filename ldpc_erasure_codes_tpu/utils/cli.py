@@ -266,6 +266,7 @@ def cmd_stream(args) -> int:
         loss=args.loss,
         shuffle=not args.in_order,
         seed=args.seed,
+        assembler=args.assembler,
     )
     print(
         json.dumps(
@@ -443,6 +444,7 @@ def main(argv: list[str] | None = None) -> int:
     pst.add_argument("--symbol-words", type=int, default=2)
     pst.add_argument("--loss", type=float, default=0.1)
     pst.add_argument("--in-order", action="store_true")
+    pst.add_argument("--assembler", default="auto", choices=["auto", "python"])
     pst.add_argument("--seed", type=int, default=0)
     pst.set_defaults(fn=cmd_stream)
 

@@ -77,6 +77,19 @@ def load_native() -> ctypes.CDLL | None:
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.ldpc_parse_vlist_header.argtypes = [ctypes.c_char_p, c_i32p, ctypes.c_int]
+    c_i64p = ctypes.POINTER(ctypes.c_longlong)
+    lib.ldpc_asm_create.restype = ctypes.c_void_p
+    lib.ldpc_asm_create.argtypes = [ctypes.c_int] * 5
+    lib.ldpc_asm_destroy.argtypes = [ctypes.c_void_p]
+    lib.ldpc_asm_push.argtypes = [
+        ctypes.c_void_p, c_u8p, c_i32p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.ldpc_asm_ready.argtypes = [ctypes.c_void_p]
+    lib.ldpc_asm_flush.argtypes = [ctypes.c_void_p]
+    lib.ldpc_asm_drain.argtypes = [
+        ctypes.c_void_p, c_i64p, c_u8p, c_u8p, ctypes.c_int,
+    ]
+    lib.ldpc_asm_stats.argtypes = [ctypes.c_void_p, c_i64p]
     return lib
 
 

@@ -177,3 +177,131 @@ class BlockAssembler:
         vals = np.stack([i[1] for i in items])
         erased = np.stack([i[2] for i in items])
         return nums, vals, erased
+
+
+class NativeBlockAssembler:
+    """Native C++ implementation of :class:`BlockAssembler` (same semantics,
+    property-tested equal in tests/test_streaming.py). The Python assembler
+    is per-packet interpreter-bound; this one ingests datagram bursts at
+    memcpy speed — the production data-loader path of the streaming runtime
+    (native/ldpc_io.cpp, the reference's host-harness analog)."""
+
+    def __init__(
+        self,
+        n: int,
+        k: int,
+        symbol_bytes: int,
+        *,
+        max_blocks: int = 8,
+        decode_at_k: bool = True,
+    ):
+        from ldpc_erasure_codes_tpu.utils import native as _native
+        import ctypes
+
+        self._native = _native
+        self._ctypes = ctypes
+        lib = _native.load_native()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.n = n
+        self.k = k
+        self.symbol_bytes = symbol_bytes
+        self._h = lib.ldpc_asm_create(
+            n, k, symbol_bytes, max_blocks, int(decode_at_k)
+        )
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.ldpc_asm_destroy(h)
+            self._h = None
+
+    def push(self, packet: bytes) -> None:
+        buf = np.frombuffer(packet, dtype=np.uint8)
+        size = np.asarray([len(packet)], dtype=np.int32)
+        want = HEADER_BYTES + self.symbol_bytes
+        if len(packet) != want:
+            # Short packets can't be laid out at the expected stride; feed a
+            # zero-padded copy with the true size for bad-length accounting.
+            buf = np.zeros(want, dtype=np.uint8)
+            buf[: len(packet)] = np.frombuffer(packet, dtype=np.uint8)
+        self._lib.ldpc_asm_push(
+            self._h,
+            self._native._ptr(np.ascontiguousarray(buf), self._ctypes.c_uint8),
+            self._native._ptr(size, self._ctypes.c_int32),
+            1,
+            want,
+        )
+
+    def push_burst(self, packets: np.ndarray) -> None:
+        """Ingest (count, HEADER_BYTES + symbol_bytes) uint8 packet rows."""
+        packets = np.ascontiguousarray(packets, dtype=np.uint8)
+        count, stride = packets.shape
+        self._lib.ldpc_asm_push(
+            self._h,
+            self._native._ptr(packets, self._ctypes.c_uint8),
+            None,
+            count,
+            stride,
+        )
+
+    @property
+    def ready_count(self) -> int:
+        return int(self._lib.ldpc_asm_ready(self._h))
+
+    def flush(self) -> None:
+        self._lib.ldpc_asm_flush(self._h)
+
+    @property
+    def stats(self) -> dict:
+        out = np.zeros(6, dtype=np.int64)
+        self._lib.ldpc_asm_stats(
+            self._h, self._native._ptr(out, self._ctypes.c_longlong)
+        )
+        keys = ["packets", "duplicates", "late", "bad", "blocks_out",
+                "evictions"]
+        return dict(zip(keys, (int(x) for x in out)))
+
+    def drain(
+        self, max_batch: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        avail = self.ready_count
+        take = avail if max_batch is None else min(max_batch, avail)
+        nums = np.zeros(take, dtype=np.int64)
+        vals = np.zeros((take, self.n, self.symbol_bytes), dtype=np.uint8)
+        er = np.zeros((take, self.n), dtype=np.uint8)
+        if take:
+            got = self._lib.ldpc_asm_drain(
+                self._h,
+                self._native._ptr(nums, self._ctypes.c_longlong),
+                self._native._ptr(vals, self._ctypes.c_uint8),
+                self._native._ptr(er, self._ctypes.c_uint8),
+                take,
+            )
+            assert got == take
+        return nums, vals, er.astype(bool)
+
+
+def make_assembler(
+    n: int,
+    k: int,
+    symbol_bytes: int,
+    *,
+    max_blocks: int = 8,
+    decode_at_k: bool = True,
+    prefer_native: bool = True,
+):
+    """BlockAssembler factory: the native C++ assembler when the toolchain
+    is available, else the Python reference implementation."""
+    if prefer_native:
+        from ldpc_erasure_codes_tpu.utils import native as _native
+
+        if _native.have_native():
+            return NativeBlockAssembler(
+                n, k, symbol_bytes, max_blocks=max_blocks,
+                decode_at_k=decode_at_k,
+            )
+    return BlockAssembler(
+        n, k, symbol_bytes, max_blocks=max_blocks, decode_at_k=decode_at_k
+    )

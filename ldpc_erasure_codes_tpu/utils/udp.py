@@ -35,6 +35,7 @@ import numpy as np
 from ldpc_erasure_codes_tpu.utils.streaming import (
     BlockAssembler,
     HEADER_BYTES,
+    make_assembler,
     make_packet,
 )
 
@@ -161,6 +162,7 @@ def loopback_demo(
     seed: int = 0,
     peel_iters: int = 50,
     emax: int = 128,
+    assembler: str = "auto",
 ) -> StreamResult:
     """Encode → UDP loopback (lossy, reordered) → reassemble → TPU decode.
 
@@ -187,13 +189,21 @@ def loopback_demo(
         jax.random.key(seed), (blocks, code.k, w), dtype=jnp.uint32
     )
     cw = np.asarray(jax.device_get(encode_packed(arrays, src)))  # (B, n, W)
-    wire = np.ascontiguousarray(
-        cw.astype("<u4").view(np.uint8).reshape(blocks, code.n, sb)
+    # device_get may hand back a transposed-stride view (the VMEM encoder's
+    # on-device layout is symbol-major); force C order before the byte view.
+    wire = cw.astype("<u4", order="C").view(np.uint8).reshape(
+        blocks, code.n, sb
     )
 
-    asm = BlockAssembler(
-        code.n, code.k, sb, max_blocks=blocks, decode_at_k=False
-    )
+    if assembler == "python":
+        asm = BlockAssembler(
+            code.n, code.k, sb, max_blocks=blocks, decode_at_k=False
+        )
+    else:
+        asm = make_assembler(
+            code.n, code.k, sb, max_blocks=blocks, decode_at_k=False,
+            prefer_native=True,
+        )
     rx = UdpReceiver(asm)
     tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     t0 = time.perf_counter()

@@ -126,3 +126,76 @@ def test_stream_to_device_decode():
     for i in np.nonzero(ok)[0]:
         np.testing.assert_array_equal(got[i], cw[nums[i]], err_msg=f"block {nums[i]}")
     assert ok.sum() >= nblocks - 1  # 15% loss on rate-2/3: nearly all decode
+
+
+def _random_stream(seed, n=12, k=7, sb=4, nblocks=5, loss=0.2, dup=0.1):
+    rng = np.random.default_rng(seed)
+    packets = []
+    for b in range(nblocks):
+        for s in range(n):
+            if rng.random() < loss:
+                continue
+            payload = rng.integers(0, 256, sb, dtype=np.uint8).tobytes()
+            packets.append(make_packet(0, b, s, payload))
+            if rng.random() < dup:
+                packets.append(packets[-1])
+    rng.shuffle(packets)
+    # a couple of malformed packets
+    packets.insert(2, make_packet(0, 1, n + 5, b"\x00" * sb))  # bad symbol
+    packets.insert(5, b"\x01\x02\x03")  # bad length
+    return n, k, sb, packets
+
+
+def test_native_assembler_matches_python():
+    """The C++ assembler (native/ldpc_io.cpp) is property-equal to the
+    Python reference: identical stats, block numbers, values, and masks on
+    randomized lossy/duplicated/reordered streams."""
+    from ldpc_erasure_codes_tpu.utils.native import have_native
+    from ldpc_erasure_codes_tpu.utils.streaming import NativeBlockAssembler
+
+    if not have_native():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    for seed in range(5):
+        for decode_at_k in (True, False):
+            n, k, sb, packets = _random_stream(seed)
+            py = BlockAssembler(n, k, sb, max_blocks=3,
+                                decode_at_k=decode_at_k)
+            na = NativeBlockAssembler(n, k, sb, max_blocks=3,
+                                      decode_at_k=decode_at_k)
+            for p in packets:
+                py.push(p)
+                na.push(p)
+            py.flush()
+            na.flush()
+            assert na.stats == py.stats, (seed, decode_at_k)
+            pn, pv, pe = py.drain()
+            nn, nv, ne = na.drain()
+            np.testing.assert_array_equal(nn, pn)
+            np.testing.assert_array_equal(nv, pv)
+            np.testing.assert_array_equal(ne, pe)
+
+
+def test_native_assembler_burst_push():
+    from ldpc_erasure_codes_tpu.utils.native import have_native
+    from ldpc_erasure_codes_tpu.utils.streaming import NativeBlockAssembler
+
+    if not have_native():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    n, k, sb = 10, 6, 4
+    rng = np.random.default_rng(3)
+    rows = []
+    for s in range(n):
+        rows.append(np.frombuffer(
+            make_packet(0, 2, s, rng.integers(0, 256, sb, np.uint8).tobytes()),
+            dtype=np.uint8,
+        ))
+    na = NativeBlockAssembler(n, k, sb, decode_at_k=False)
+    na.push_burst(np.stack(rows))
+    assert na.ready_count == 1
+    nums, vals, er = na.drain()
+    assert nums.tolist() == [2]
+    assert not er.any()
