@@ -90,6 +90,7 @@ class UdpReceiver:
         host: str = "127.0.0.1",
         port: int = 0,
         rcvbuf: int = 1 << 22,
+        burst: int = 256,
     ):
         self.assembler = assembler
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -100,8 +101,22 @@ class UdpReceiver:
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self.datagrams = 0
+        # Burst buffer: exact-size datagrams accumulate here and flush to the
+        # assembler in one call, so the native burst assembler pays its
+        # ctypes/FFI entry once per `burst` packets, not once per packet
+        # (per-packet FFI measured slower than the pure-Python assembler).
+        self._burst_cap = burst if hasattr(assembler, "push_burst") else 0
+        if self._burst_cap:
+            size = HEADER_BYTES + assembler.symbol_bytes
+            self._burst_buf = np.empty((self._burst_cap, size), dtype=np.uint8)
+            self._burst_n = 0
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+
+    def _flush_burst_locked(self) -> None:
+        if self._burst_cap and self._burst_n:
+            self.assembler.push_burst(self._burst_buf[: self._burst_n])
+            self._burst_n = 0
 
     def _run(self) -> None:
         size = HEADER_BYTES + self.assembler.symbol_bytes
@@ -109,15 +124,27 @@ class UdpReceiver:
             try:
                 data, _ = self._sock.recvfrom(size + 64)
             except socket.timeout:
+                with self._lock:
+                    self._flush_burst_locked()
                 continue
             except OSError:
                 break
             with self._lock:
                 self.datagrams += 1
-                self.assembler.push(data)
+                if self._burst_cap and len(data) == size:
+                    self._burst_buf[self._burst_n] = np.frombuffer(
+                        data, dtype=np.uint8
+                    )
+                    self._burst_n += 1
+                    if self._burst_n == self._burst_cap:
+                        self._flush_burst_locked()
+                else:
+                    self._flush_burst_locked()  # preserve arrival order
+                    self.assembler.push(data)
 
     def drain(self, max_batch: int | None = None):
         with self._lock:
+            self._flush_burst_locked()
             return self.assembler.drain(max_batch)
 
     def wait_for(self, datagrams: int, timeout: float = 10.0) -> bool:
@@ -132,6 +159,7 @@ class UdpReceiver:
 
     def flush(self) -> None:
         with self._lock:
+            self._flush_burst_locked()
             self.assembler.flush()
 
     def close(self) -> None:
