@@ -35,27 +35,33 @@ BASELINE_GBPS = 36.3
 def main() -> None:
     from ldpc_erasure_codes_tpu import channel as ch
     from ldpc_erasure_codes_tpu.codes import get_code
-    from ldpc_erasure_codes_tpu.ops import device_arrays, encode_packed
+    from ldpc_erasure_codes_tpu.ops import device_arrays
+    from ldpc_erasure_codes_tpu.ops.pallas_encode import encode_packed_vmem
     from ldpc_erasure_codes_tpu.ops.pallas_peel import peel_decode_vmem
     from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
 
     quick = "--quick" in sys.argv
     code = get_code("n2040_k1530")
     arrays = device_arrays(code)
-    b = int(os.environ.get("BENCH_BATCH", "16" if quick else "512"))
+    b = int(os.environ.get("BENCH_BATCH", "16" if quick else "1024"))
     w = int(os.environ.get("BENCH_WORDS", "256"))  # 256 x uint32 = 8192 bits = S
     per = float(os.environ.get("BENCH_PER", "0.1406"))
     reps = int(os.environ.get("BENCH_REPS", "5" if quick else "10"))
     impl = os.environ.get("BENCH_IMPL", "pallas")
-    # bt=16 measured best at W=256 (123.9 vs 98.5 Gbps at bt=8): bigger
-    # tiles amortize the per-check scalar loop; the pipeline auto-drops to
-    # single buffering to fit VMEM.
-    bt = int(os.environ.get("BENCH_TILE", "16"))
+    # bt=32 measured best at W=256 (177 vs 142 at bt=16 vs 98.5 at bt=8):
+    # bigger tiles amortize the per-check scalar loop. bt=32 only fits
+    # because the kernel DMAs the input straight into the working window
+    # (input never holds a separate VMEM buffer).
+    bt = int(os.environ.get("BENCH_TILE", "32"))
     symbol_bits = 32 * w
 
     key = jax.random.key(0)
     src = jax.random.bits(key, (b, code.k, w), dtype=jnp.uint32)
-    cw = jax.block_until_ready(encode_packed(arrays, src))
+    # VMEM encoder: the XLA gather encoder's (B, m, dmax, W) intermediate
+    # OOMs HBM at B=1024.
+    cw = jax.block_until_ready(
+        encode_packed_vmem(arrays, src, b_tile=16 if b % 16 == 0 else 8)
+    )
 
     @jax.jit
     def step(key, cw):

@@ -25,7 +25,9 @@ from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gf_order", "peel_iters", "emax", "impl", "ge_subbatch"),
+    static_argnames=(
+        "gf_order", "peel_iters", "emax", "impl", "ge_subbatch", "b_tile",
+    ),
 )
 def hybrid_decode(
     arrays: CodeArrays,
@@ -37,6 +39,7 @@ def hybrid_decode(
     emax: int = 128,
     impl: str = "gather",
     ge_subbatch: int = 0,
+    b_tile: int = 8,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Peel up to ``peel_iters`` sweeps, then GE-solve the residual.
 
@@ -54,7 +57,8 @@ def hybrid_decode(
         # Production wide path: the VMEM-resident Pallas decoder (binary or
         # GF(256); frames stay on chip across the whole peel loop).
         values, erased, iters = peel_decode_vmem(
-            arrays, values, erased, max_iters=peel_iters, gf_order=gf_order
+            arrays, values, erased, max_iters=peel_iters, gf_order=gf_order,
+            b_tile=b_tile,
         )
     elif values.ndim == 3 and impl == "gather":
         # Wide frames use the symbol-major XLA decoder (same fixed point and

@@ -74,7 +74,8 @@ def _gf_mul_scalar(v, coef):
 
 def _make_kernel(
     *, n: int, k_stop: int, m: int, dmax: int, bt: int, max_iters: int,
-    skip_idle: bool, cond_stores: bool, gf_order: int,
+    skip_idle: bool, cond_stores: bool, gf_order: int, serpentine: bool,
+    interpret: bool,
 ):
     n1 = n + 1
 
@@ -82,7 +83,7 @@ def _make_kernel(
         topo_ref,   # (m, dmax) int32 SMEM (scalar prefetch), pad = n
         coef_ref,   # (m, dmax) int32 SMEM: GF coefficients, pad = 0
         inv_ref,    # (m, dmax) int32 SMEM: inverse coefficients, pad = 0
-        vals_ref,   # (n1*bt, W) uint32 VMEM in
+        vals_hbm,   # (ntiles, n1*bt, W) uint32 ANY (stays in HBM; manual DMA)
         emask_ref,  # (n1*bt, 1) int8 VMEM in (copy-in masking only)
         er_ref,     # (n1, bt) int32 VMEM in
         resid_ref,  # (1, bt) int32 VMEM in: erasures among first k_stop cols
@@ -92,17 +93,38 @@ def _make_kernel(
         resid_scr,  # (1, bt) int32 VMEM scratch
         changed_scr,  # (1, bt) int32 VMEM scratch
         flag_smem,  # (3,) int32 SMEM scratch: [done, deg1_any, slot_bits]
+        copy_sem,   # DMA semaphore for the manual copy-in
     ):
-        # Copy-in, fusing the erasure masking (erased slots forced to zero).
+        # Manual copy-in: DMA the tile's values straight into the WORKING
+        # buffer (the output window). Keeping the big operand out of the
+        # pipeline halves the VMEM footprint vs a VMEM input operand —
+        # that headroom buys larger b_tile, which amortizes the per-check
+        # scalar work over more frames. The copy is ~40 us against ~1 ms of
+        # decode per tile, so losing input double-buffering costs nothing.
+        # Hardware window refs keep the leading singleton block dim (the DMA
+        # shape check sees the raw (1, n1*bt, W) memref); the interpreter
+        # squeezes it — slice the HBM source to match each.
+        if interpret:
+            src = vals_hbm.at[pl.program_id(0)]
+        else:
+            src = vals_hbm.at[pl.ds(pl.program_id(0), 1)]
+        cp = pltpu.make_async_copy(src, vals_out, copy_sem)
+        cp.start()
+        cp.wait()
+        # Fuse the erasure masking (erased slots forced to zero).
         vals_out[...] = jnp.where(
-            emask_ref[...] != 0, jnp.uint32(0), vals_ref[...]
+            emask_ref[...] != 0, jnp.uint32(0), vals_out[...]
         )
         er_out[...] = er_ref[...]
         resid_scr[...] = resid_ref[...]
         iters_out[...] = jnp.zeros((1, bt), jnp.int32)
         flag_smem[0] = 0
 
-        def check_body(c, carry):
+        def check_body(cc, rev):
+            if serpentine:
+                c = jnp.where(rev != 0, (m - 1) - cc, cc)
+            else:
+                c = cc
             idxs = [topo_ref[c, s] for s in range(dmax)]
             es = [er_out[pl.ds(idxs[s], 1), :] for s in range(dmax)]
             cnt = es[0]
@@ -190,13 +212,19 @@ def _make_kernel(
                     wide_work()
             else:
                 wide_work()
-            return carry
+            return rev
 
         def sweep_body(it, carry):
             @pl.when(flag_smem[0] == 0)
             def _():
                 changed_scr[...] = jnp.zeros((1, bt), jnp.int32)
-                jax.lax.fori_loop(0, m, check_body, 0)
+                # Serpentine: odd sweeps run the checks high-to-low, so
+                # resolution chains pointing "up" the row order propagate in
+                # one sweep instead of one row per sweep (fixed point is
+                # schedule-invariant; iteration counts differ from the
+                # MATLAB forward-only schedule).
+                rev0 = (it % 2) if serpentine else 0
+                jax.lax.fori_loop(0, m, check_body, rev0)
                 resid = resid_scr[...]
                 prev = iters_out[...]
                 iters_out[...] = jnp.where(
@@ -219,7 +247,7 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "max_iters", "early_stop_k", "b_tile", "skip_idle",
-        "cond_stores", "gf_order", "interpret",
+        "cond_stores", "gf_order", "serpentine", "interpret",
     ),
 )
 def peel_decode_vmem(
@@ -233,6 +261,7 @@ def peel_decode_vmem(
     skip_idle: bool = True,
     cond_stores: bool | None = None,
     gf_order: int = 2,
+    serpentine: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """VMEM-resident peeling decode; sequential (MATLAB) schedule.
@@ -259,8 +288,19 @@ def peel_decode_vmem(
         on hardware (Mosaic requires sublane-aligned dynamic slices — bt=4
         fails to compile; any value works in interpret mode).
         VMEM footprint is about
-        ``4 * b_tile * (n+1) * W * 4`` bytes (double-buffered in + out);
-        b_tile=8, W=256, n=2040 → ~67 MB of the chip's 128 MB.
+        ``2 * b_tile * (n+1) * W * 4`` bytes (double-buffered working
+        window; the input stays in HBM and is DMA'd straight into the
+        working buffer): b_tile=16, W=256, n=2040 → ~67 MB of the chip's
+        128 MB; b_tile=32 fits single-buffered. b_tile=32 measured best
+        at the headline shape (177 Gbps vs 142 at bt=16 on v5e).
+      serpentine: odd sweeps run the check loop high-to-low. Same fixed
+        point (schedule-invariant); iteration counts differ from the
+        forward-only MATLAB schedule. MEASURED NEGATIVE at the headline
+        operating point on v5e (165 vs 177 Gbps at bt=32: the (2040,1530)
+        code's resolution chains mostly point DOWN the row order — the
+        direction the MATLAB schedule was designed for — so reversing
+        every other sweep adds a sweep instead of saving one). Kept as a
+        research knob.
 
     Returns (values, erased, iters) — (B, n, W), (B, n) bool, (B,) int32.
     """
@@ -318,28 +358,26 @@ def peel_decode_vmem(
     kernel = _make_kernel(
         n=n, k_stop=k_stop, m=m, dmax=dmax, bt=bt, max_iters=max_iters,
         skip_idle=skip_idle, cond_stores=cond_stores, gf_order=gf_order,
+        serpentine=serpentine, interpret=interpret,
     )
-    # Large tiles (e.g. W=512 / S=16384 at bt=8) exceed VMEM when the
-    # pipeline double-buffers the two big value operands; drop those to
-    # single buffering (compute >> copy time at these shapes, so the lost
-    # overlap is negligible).
+    # The big values operand stays in HBM (manual DMA straight into the
+    # working/output window), so VMEM holds only the output copies. Large
+    # tiles (W=512/bt=8, or bt=32 at W=256) exceed VMEM when the pipeline
+    # double-buffers the output; drop those to single buffering (compute >>
+    # copy time at these shapes, so the lost overlap is negligible).
     vals_bytes = n1 * bt * w * 4
-    nbuf = 2 if 4 * vals_bytes <= 96 * 1024 * 1024 else 1
+    nbuf = 2 if 2 * vals_bytes <= 96 * 1024 * 1024 else 1
     big_mode = None if nbuf == 2 else pl.Buffered(buffer_count=1)
-    vmem_limit = min(
-        112 * 1024 * 1024,
-        2 * nbuf * vals_bytes
-        + 4 * n1 * max(bt, 128) * 4
-        + 8 * 1024 * 1024,
-    )
+    # Flat ceiling: the kernel's true footprint is nbuf*vals_bytes plus the
+    # lane-padded small operands (the (X, 1) emask sidecar pads to 128
+    # lanes); a tight per-shape bound buys nothing and under-estimating it
+    # kills the compile.
+    vmem_limit = 112 * 1024 * 1024
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec(
-                (None, n1 * bt, w), lambda i, topo, cf, iv: (i, 0, 0),
-                memory_space=pltpu.VMEM, pipeline_mode=big_mode,
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 (None, n1 * bt, 1), lambda i, topo, cf, iv: (i, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -371,6 +409,7 @@ def peel_decode_vmem(
             pltpu.VMEM((1, bt), jnp.int32),
             pltpu.VMEM((1, bt), jnp.int32),
             pltpu.SMEM((3,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     vals_t, er_t, iters_t = pl.pallas_call(

@@ -97,6 +97,7 @@ def _decode(
                 gf_order=cfg.gf_order,
                 max_iters=d.max_iters,
                 early_stop_k=early,
+                b_tile=d.b_tile,
             )
             return v, e, iters, None
         v, e, iters = peel_decode(

@@ -105,7 +105,8 @@ def make_throughput_step(
         mask = ch.iid_erasures(key, (batch, code.n), per)
         if impl == "pallas":
             values, erased, _ = peel_decode_vmem(
-                arrays, cw, mask, max_iters=max_iters, early_stop_k=code.k
+                arrays, cw, mask, max_iters=max_iters, early_stop_k=code.k,
+                b_tile=32,
             )
         else:
             recv = ch.apply_erasures(cw, mask)

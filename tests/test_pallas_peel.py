@@ -73,6 +73,26 @@ def test_fixed_point_matches_jacobi_xla():
     np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_x))
 
 
+def test_serpentine_same_fixed_point():
+    """Serpentine (alternating-direction) sweeps reach the same fixed point
+    (values + residual mask) as the forward-only MATLAB schedule; iteration
+    counts are schedule-dependent (up-pointing chains resolve faster, down-
+    pointing ones can take an extra sweep) and only bounded here."""
+    code = gen_row_wise([(16, 6)], [(48, 2)], seed=3, max_tries=40,
+                        strict_tries=4)
+    for seed, per in ((0, 0.25), (4, 0.3)):
+        arrays, cw, recv, mask = _make_case(code, 8, 2, per, seed=seed)
+        v1, e1, i1 = peel_decode_vmem(
+            arrays, recv, mask, max_iters=50, interpret=True
+        )
+        v2, e2, i2 = peel_decode_vmem(
+            arrays, recv, mask, max_iters=50, serpentine=True, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        assert (np.asarray(i2) <= 50).all()
+
+
 def test_fuses_channel_masking():
     """Passing UN-masked codewords with the mask must give the same result
     as pre-masked input (masking is fused into the copy-in)."""
