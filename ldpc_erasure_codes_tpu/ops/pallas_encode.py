@@ -43,14 +43,28 @@ def _make_kernel(
 
     def kernel(
         tab_ref,   # (m, 2*dmax + 2*pmax + 1) int32 SMEM:
-                   # [src idx | src coef | par idx | par coef | diag inv]
-        src_ref,   # ((k+1)*bt, W) uint32 VMEM in; pad row k is zero
-        out_ref,   # ((n+1)*bt, W) uint32 VMEM out; row n is the parity pad
+                   # [src idx (pad n) | src coef | par idx | par coef | inv]
+        src_hbm,   # (ntiles, k*bt, W) uint32 ANY (stays in HBM; manual DMA)
+        out_ref,   # ((n+1)*bt, W) uint32 VMEM out; row n is the shared pad
+        copy_sem,  # DMA semaphore
     ):
-        # Systematic prefix: pass the source block through. The parity pad
-        # row (slot n, the enc_par_idx pad target) must be zero BEFORE the
-        # row loop: binary pad terms XOR it in verbatim.
-        out_ref[pl.ds(0, k * bt), :] = src_ref[pl.ds(0, k * bt), :]
+        # Systematic prefix: DMA the tile's source block straight into the
+        # output window — the prefix copy IS the pass-through, and dropping
+        # the separate source buffer halves the VMEM footprint (bt=32 fits;
+        # source-neighbor reads below come from the prefix). The pad row
+        # (slot n — target of BOTH the source-idx pad, remapped k -> n host
+        # side, and the parity-idx pad) must be zero BEFORE the row loop:
+        # binary pad terms XOR it in verbatim.
+        # (A SLICED window ref drops the leading singleton block dim on
+        # hardware — unlike the whole-window DMA target in pallas_peel — so
+        # the squeezed source slice matches on both backends.)
+        cp = pltpu.make_async_copy(
+            src_hbm.at[pl.program_id(0)],
+            out_ref.at[pl.ds(0, k * bt), :],
+            copy_sem,
+        )
+        cp.start()
+        cp.wait()
         out_ref[pl.ds(n * bt, bt), :] = jnp.zeros(
             (bt, out_ref.shape[1]), jnp.uint32
         )
@@ -59,7 +73,7 @@ def _make_kernel(
             acc = jnp.zeros((bt, out_ref.shape[1]), jnp.uint32)
             for s in range(dmax):
                 idx = tab_ref[i, c_sidx + s]
-                term = src_ref[pl.ds(pl.multiple_of(idx * bt, bt), bt), :]
+                term = out_ref[pl.ds(pl.multiple_of(idx * bt, bt), bt), :]
                 if gf_order != 2:
                     term = _gf_mul_scalar(term, tab_ref[i, c_sval + s])
                 acc = acc ^ term
@@ -125,21 +139,25 @@ def encode_packed_vmem(
         w = w // 4
     source = source.astype(jnp.uint32)
 
-    spad = jnp.pad(source, ((0, bp - b), (0, 1), (0, 0)))  # pad row k zero
-    st = spad.reshape(ntiles, bt, k + 1, w).swapaxes(1, 2).reshape(
-        ntiles, (k + 1) * bt, w
+    spad = jnp.pad(source, ((0, bp - b), (0, 0), (0, 0)))
+    st = spad.reshape(ntiles, bt, k, w).swapaxes(1, 2).reshape(
+        ntiles, k * bt, w
     )
 
     kernel = _make_kernel(
         n=n, k=k, m=m, dmax=dmax, pmax=pmax, bt=bt, gf_order=gf_order
     )
     out_bytes = (n + 1) * bt * w * 4
-    in_bytes = (k + 1) * bt * w * 4
-    nbuf = 2 if 2 * (out_bytes + in_bytes) <= 96 * 1024 * 1024 else 1
+    nbuf = 2 if 2 * out_bytes <= 96 * 1024 * 1024 else 1
     big_mode = None if nbuf == 2 else pl.Buffered(buffer_count=1)
+    # Source-idx pad remapped k -> n: source neighbors are read out of the
+    # output window's systematic prefix, whose shared zero pad row is slot n.
+    src_idx = jnp.where(
+        arrays.enc_src_idx == k, jnp.int32(n), arrays.enc_src_idx
+    )
     tab = jnp.concatenate(
         [
-            arrays.enc_src_idx,
+            src_idx,
             arrays.enc_src_val.astype(jnp.int32),
             arrays.enc_par_idx,
             arrays.enc_par_val.astype(jnp.int32),
@@ -150,30 +168,20 @@ def encode_packed_vmem(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec(
-                (None, (k + 1) * bt, w),
-                lambda i, tab: (i, 0, 0),
-                memory_space=pltpu.VMEM, pipeline_mode=big_mode,
-            ),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (None, (n + 1) * bt, w),
             lambda i, tab: (i, 0, 0),
             memory_space=pltpu.VMEM, pipeline_mode=big_mode,
         ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
     out_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ntiles, (n + 1) * bt, w), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(
-                min(
-                    112 * 1024 * 1024,
-                    nbuf * (out_bytes + in_bytes) + 8 * 1024 * 1024,
-                )
-            ),
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
     )(tab, st)
