@@ -43,7 +43,7 @@ def main() -> None:
     quick = "--quick" in sys.argv
     code = get_code("n2040_k1530")
     arrays = device_arrays(code)
-    b = int(os.environ.get("BENCH_BATCH", "16" if quick else "1024"))
+    b = int(os.environ.get("BENCH_BATCH", "16" if quick else "2048"))
     w = int(os.environ.get("BENCH_WORDS", "256"))  # 256 x uint32 = 8192 bits = S
     per = float(os.environ.get("BENCH_PER", "0.1406"))
     reps = int(os.environ.get("BENCH_REPS", "5" if quick else "10"))
@@ -51,7 +51,9 @@ def main() -> None:
     # bt=32 measured best at W=256 (177 vs 142 at bt=16 vs 98.5 at bt=8):
     # bigger tiles amortize the per-check scalar loop. bt=32 only fits
     # because the kernel DMAs the input straight into the working window
-    # (input never holds a separate VMEM buffer).
+    # (input never holds a separate VMEM buffer). bt=48 / W=512,bt=24
+    # exceed VMEM (compile fails). Batch: B=2048 measured 194.1 Gbps vs
+    # 185.2 at B=1024; B=3072 OOMs HBM (16.5G > 15.75G).
     bt = int(os.environ.get("BENCH_TILE", "32"))
     symbol_bits = 32 * w
 
