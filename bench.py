@@ -52,8 +52,9 @@ def main() -> None:
     # bigger tiles amortize the per-check scalar loop. bt=32 only fits
     # because the kernel DMAs the input straight into the working window
     # (input never holds a separate VMEM buffer). bt=48 / W=512,bt=24
-    # exceed VMEM (compile fails). Batch: B=2048 measured 194.1 Gbps vs
-    # 185.2 at B=1024; B=3072 OOMs HBM (16.5G > 15.75G).
+    # exceed VMEM (compile fails). Batch: B=2048 measured 219.9 Gbps vs
+    # 185.2 at B=1024 (pre-transpose-batching); B=3072 OOMs HBM
+    # (16.5G > 15.75G).
     bt = int(os.environ.get("BENCH_TILE", "32"))
     symbol_bits = 32 * w
 

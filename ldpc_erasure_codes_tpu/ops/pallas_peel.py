@@ -157,16 +157,27 @@ def _make_kernel(
                     (deg1 & (es[s] != 0)).astype(jnp.int32)
                     for s in range(dmax)
                 ]  # per slot: this slot is the erased one
+                # One batched lane->sublane transpose for ALL slots' event
+                # flags (a per-slot (1,bt)->(bt,1) transpose is a cross-space
+                # shuffle costing ~as much as the 32KB tile store it guards;
+                # dmax of them dominated the eventful-check cost). Hoist the
+                # resid/changed accumulations out of the slot loop too: one
+                # vector RMW each instead of dmax apiece.
+                conds_mat = jnp.concatenate(conds, axis=0)  # (dmax, bt)
+                conds_f = jnp.transpose(conds_mat)          # (bt, dmax)
+                dec = jnp.zeros_like(conds[0])
+                for s in range(dmax):
+                    in_k = jnp.where(
+                        idxs[s] < k_stop, jnp.int32(1), jnp.int32(0)
+                    )
+                    dec = dec + conds[s] * in_k
+                resid_scr[...] = resid_scr[...] - dec
+                changed_scr[...] = changed_scr[...] + deg1.astype(jnp.int32)
 
                 def slot_update(s):
                     condi = conds[s]
                     er_out[pl.ds(idxs[s], 1), :] = es[s] - condi
-                    in_k = jnp.where(
-                        idxs[s] < k_stop, jnp.int32(1), jnp.int32(0)
-                    )
-                    resid_scr[...] = resid_scr[...] - condi * in_k
-                    changed_scr[...] = changed_scr[...] + condi
-                    cond_f = jnp.transpose(condi) != 0  # (bt, 1) frame space
+                    cond_f = conds_f[:, s : s + 1] != 0  # (bt, 1) frame space
                     if gf_order == 2:
                         val = acc
                     else:
@@ -286,7 +297,11 @@ def peel_decode_vmem(
         decoder_perf_tests.cl:205-210).
       b_tile: frames held in VMEM per grid step; must be a multiple of 8
         on hardware (Mosaic requires sublane-aligned dynamic slices — bt=4
-        fails to compile; any value works in interpret mode).
+        fails to compile; any value works in interpret mode). On hardware
+        the symbol width must also be a multiple of 128 uint32 words
+        (512 bytes for gf_order=256): the copy-in DMA slices the lane dim
+        and Mosaic requires lane-tile-aligned slices. Narrow symbols take
+        the XLA wide path instead.
         VMEM footprint is about
         ``2 * b_tile * (n+1) * W * 4`` bytes (double-buffered working
         window; the input stays in HBM and is DMA'd straight into the
@@ -319,6 +334,14 @@ def peel_decode_vmem(
         raise ValueError(
             f"b_tile={bt} must be a multiple of 8 on hardware (Mosaic "
             "sublane-aligned dynamic slices)"
+        )
+    w_eff = w // 4 if gf_order == 256 else w
+    if not interpret and w_eff % 128 != 0:
+        raise ValueError(
+            f"W={w_eff} uint32 words must be a multiple of 128 on hardware "
+            "(the copy-in DMA slices the lane dim, and Mosaic requires "
+            "lane-tile-aligned slices). Use peel_decode_wide for narrow "
+            "symbols."
         )
     if cond_stores is None:
         # Measured on v5e: scalar-bitmask store skipping LOSES for both
