@@ -268,20 +268,20 @@ def cmd_stream(args) -> int:
         shuffle=not args.in_order,
         seed=args.seed,
         assembler=args.assembler,
+        vita=args.vita,
     )
-    print(
-        json.dumps(
-            {
-                "blocks": r.blocks,
-                "packets_sent": r.packets_sent,
-                "packets_received": r.packets_received,
-                "blocks_recovered": r.blocks_recovered,
-                "blocks_failed": r.blocks_failed,
-                "packets_per_sec": round(r.packets_per_sec, 1),
-                "assembler": r.stats,
-            }
-        )
-    )
+    out = {
+        "blocks": r.blocks,
+        "packets_sent": r.packets_sent,
+        "packets_received": r.packets_received,
+        "blocks_recovered": r.blocks_recovered,
+        "blocks_failed": r.blocks_failed,
+        "packets_per_sec": round(r.packets_per_sec, 1),
+        "assembler": r.stats,
+    }
+    if r.vita_stats is not None:
+        out["vita"] = r.vita_stats
+    print(json.dumps(out))
     return 0 if r.blocks_recovered + r.blocks_failed == r.blocks else 1
 
 
@@ -446,6 +446,11 @@ def main(argv: list[str] | None = None) -> int:
     pst.add_argument("--loss", type=float, default=0.1)
     pst.add_argument("--in-order", action="store_true")
     pst.add_argument("--assembler", default="auto", choices=["auto", "python"])
+    pst.add_argument(
+        "--vita", action="store_true",
+        help="source symbols arrive as a VITA-49 stream over UDP first "
+        "(the reference encoder's ingest)",
+    )
     pst.add_argument("--seed", type=int, default=0)
     pst.set_defaults(fn=cmd_stream)
 

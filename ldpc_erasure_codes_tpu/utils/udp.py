@@ -18,9 +18,11 @@ working TPU-framework datapath over real sockets:
   returns counters (packets, blocks, recovered, packets/s). Exposed as the
   ``stream`` CLI subcommand.
 
-Transport framing is the FEC header only (VITA-49 radio framing stays out
-of scope — the reference's VITA fields are pass-through payload bytes as far
-as the codec is concerned).
+With ``vita=True`` the demo runs the reference's full chain: the source
+symbols first ride a VITA-49 (VRT) stream over a UDP loopback and are
+recovered by :class:`utils.vita.VitaIngest` (header strip, packet-count
+continuity, context-packet drop) before encoding — the host-side analog of
+the kernel's ingest loop (ldpc_erasure_encoder_VITA_in_UDP_out.cl:140-212).
 """
 
 from __future__ import annotations
@@ -178,6 +180,54 @@ class StreamResult:
     send_seconds: float
     packets_per_sec: float
     stats: dict
+    vita_stats: dict | None = None
+
+
+def _vita_leg(
+    src_bytes: np.ndarray, *, stream_id: int, data_per_context: int
+) -> tuple[np.ndarray, dict]:
+    """Send source symbols as a VRT stream over UDP loopback; ingest back.
+
+    ``src_bytes`` is (blocks, k, symbol_bytes) uint8. Returns the recovered
+    array (bit-exact, asserted by the caller) and the ingest stats. Loopback
+    UDP is lossless and ordered; upstream-loss detection (packet-count gaps)
+    is unit-tested separately (tests/test_vita.py).
+    """
+    from ldpc_erasure_codes_tpu.utils.vita import VitaEmitter, VitaIngest
+
+    blocks, k, sb = src_bytes.shape
+    emitter = VitaEmitter(stream_id, data_per_context=data_per_context)
+    ingest = VitaIngest(expected_stream_id=stream_id)
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 22)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(2.0)
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    addr = rx.getsockname()
+    nsent = 0
+    for b in range(blocks):
+        for s in range(k):
+            for _cls, pkt in emitter.emit(src_bytes[b, s].tobytes()):
+                tx.sendto(pkt, addr)
+                nsent += 1
+    payloads: list[bytes] = []
+    try:
+        while ingest.stats["packets"] < nsent:
+            data, _ = rx.recvfrom(65536)
+            p = ingest.push(data)
+            if p is not None:
+                payloads.append(p)
+    except socket.timeout as exc:  # pragma: no cover - loopback shouldn't drop
+        raise RuntimeError(
+            f"VITA leg: {ingest.stats['packets']}/{nsent} datagrams arrived"
+        ) from exc
+    finally:
+        tx.close()
+        rx.close()
+    out = np.frombuffer(b"".join(payloads), dtype=np.uint8).reshape(
+        blocks, k, sb
+    )
+    return out, dict(ingest.stats)
 
 
 def loopback_demo(
@@ -191,6 +241,8 @@ def loopback_demo(
     peel_iters: int = 50,
     emax: int = 128,
     assembler: str = "auto",
+    vita: bool = False,
+    data_per_context: int = 16,
 ) -> StreamResult:
     """Encode → UDP loopback (lossy, reordered) → reassemble → TPU decode.
 
@@ -198,6 +250,9 @@ def loopback_demo(
     transmitted codeword. Reference datapath:
     ldpc_erasure_encoder_VITA_in_UDP_out.cl:84-136 (send side),
     ldpc_erasure_decoder_with_reordering_logic.cl:17-26 (reassembly).
+    ``vita=True`` prepends the reference's ingest leg: the source symbols
+    arrive as a VITA-49 stream over UDP and are recovered bit-exactly by
+    VitaIngest before encoding (:140-212).
     """
     import jax
     import jax.numpy as jnp
@@ -216,6 +271,19 @@ def loopback_demo(
     src = jax.random.bits(
         jax.random.key(seed), (blocks, code.k, w), dtype=jnp.uint32
     )
+    vita_stats = None
+    if vita:
+        # Reference ingest leg: source symbols ride a VRT stream first.
+        src_np = np.asarray(jax.device_get(src)).astype(
+            "<u4", order="C"
+        ).view(np.uint8).reshape(blocks, code.k, sb)
+        got, vita_stats = _vita_leg(
+            src_np, stream_id=0xCC01 + seed, data_per_context=data_per_context
+        )
+        np.testing.assert_array_equal(got, src_np, err_msg="VITA leg corrupt")
+        src = jnp.asarray(
+            np.ascontiguousarray(got).view("<u4").reshape(blocks, code.k, w)
+        )
     cw = np.asarray(jax.device_get(encode_packed(arrays, src)))  # (B, n, W)
     # device_get may hand back a transposed-stride view (the VMEM encoder's
     # on-device layout is symbol-major); force C order before the byte view.
@@ -271,4 +339,5 @@ def loopback_demo(
         send_seconds=send_dt,
         packets_per_sec=received / send_dt if send_dt > 0 else 0.0,
         stats=dict(asm.stats),
+        vita_stats=vita_stats,
     )
