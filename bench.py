@@ -61,9 +61,15 @@ def main() -> None:
     key = jax.random.key(0)
     src = jax.random.bits(key, (b, code.k, w), dtype=jnp.uint32)
     # VMEM encoder: the XLA gather encoder's (B, m, dmax, W) intermediate
-    # OOMs HBM at B=1024.
+    # OOMs HBM at B=1024. tiled_out: the encoder emits (and the decoder
+    # consumes) the native tile-major accelerator layout — the production
+    # encode->channel->decode chain never pays a full-batch HBM transpose
+    # (26 ms/step at this shape, measured; ops/pallas_peel.tile_wide).
+    tiled = impl == "pallas"
     cw = jax.block_until_ready(
-        encode_packed_vmem(arrays, src, b_tile=16 if b % 16 == 0 else 8)
+        encode_packed_vmem(
+            arrays, src, b_tile=bt if tiled else 16, tiled_out=tiled
+        )
     )
 
     @jax.jit
@@ -71,10 +77,10 @@ def main() -> None:
         mask = ch.iid_erasures(key, (b, code.n), per)
         if impl == "pallas":
             # Masking is fused into the kernel copy-in; no apply_erasures
-            # HBM pass.
+            # HBM pass. Input and output ride the tile-major layout.
             values, erased, iters = peel_decode_vmem(
                 arrays, cw, mask, max_iters=50, early_stop_k=code.k,
-                b_tile=bt,
+                b_tile=bt, tiled=True,
             )
         else:
             recv = ch.apply_erasures(cw, mask)
@@ -83,7 +89,8 @@ def main() -> None:
             )
         # Consume the decoded VALUES (not just the mask): the mask evolution
         # is value-independent, so returning only residual counts lets XLA
-        # dead-code-eliminate the entire wide-symbol decode.
+        # dead-code-eliminate the entire wide-symbol decode. (XOR digest is
+        # layout-invariant — same value set either way.)
         digest = jnp.bitwise_xor.reduce(
             jnp.bitwise_xor.reduce(values, axis=1), axis=0
         )

@@ -13,7 +13,11 @@ from ldpc_erasure_codes_tpu.ops.encode import (
 from ldpc_erasure_codes_tpu.ops.ge import ge_rank_check, ge_solve
 from ldpc_erasure_codes_tpu.ops.pallas_channel import channel_apply_per64
 from ldpc_erasure_codes_tpu.ops.pallas_encode import encode_packed_vmem
-from ldpc_erasure_codes_tpu.ops.pallas_peel import peel_decode_vmem
+from ldpc_erasure_codes_tpu.ops.pallas_peel import (
+    peel_decode_vmem,
+    tile_wide,
+    untile_wide,
+)
 from ldpc_erasure_codes_tpu.ops.hybrid import hybrid_decode
 from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
 from ldpc_erasure_codes_tpu.ops.peel import (
@@ -42,6 +46,8 @@ __all__ = [
     "make_packed_encoder",
     "peel_decode",
     "peel_decode_vmem",
+    "tile_wide",
+    "untile_wide",
     "peel_decode_mask",
     "peel_decode_wide",
     "peel_decode_with_history",

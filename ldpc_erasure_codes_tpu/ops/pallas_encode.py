@@ -34,15 +34,18 @@ from ldpc_erasure_codes_tpu.ops.pallas_peel import _gf_mul_scalar
 def _make_kernel(
     *, n: int, k: int, m: int, dmax: int, pmax: int, bt: int, gf_order: int
 ):
-    # Column layout of the single prefetched topology table (one SMEM
-    # operand: each prefetch operand costs a fixed 256 KB scoped SMEM slot,
-    # and five of them blow the 1 MB budget).
+    # Row layout of the single prefetched topology table. One SMEM operand
+    # (not five): a prefetch operand's SMEM cost is rows * pad128(cols) * 4
+    # bytes — the minor dim pads to 128 words — so the table is stored
+    # TRANSPOSED, (cols, m), putting the padding on the long m axis:
+    # ~100-220 KB for every shipped code vs m*128*4 per operand the other
+    # way (1 MB at m=2000, the whole scoped-SMEM budget).
     c_sidx, c_sval = 0, dmax
     c_pidx, c_pval = 2 * dmax, 2 * dmax + pmax
     c_dinv = 2 * dmax + 2 * pmax
 
     def kernel(
-        tab_ref,   # (m, 2*dmax + 2*pmax + 1) int32 SMEM:
+        tab_ref,   # (2*dmax + 2*pmax + 1, m) int32 SMEM:
                    # [src idx (pad n) | src coef | par idx | par coef | inv]
         src_hbm,   # (ntiles, k*bt, W) uint32 ANY (stays in HBM; manual DMA)
         out_ref,   # ((n+1)*bt, W) uint32 VMEM out; row n is the shared pad
@@ -72,20 +75,20 @@ def _make_kernel(
         def row_body(i, carry):
             acc = jnp.zeros((bt, out_ref.shape[1]), jnp.uint32)
             for s in range(dmax):
-                idx = tab_ref[i, c_sidx + s]
+                idx = tab_ref[c_sidx + s, i]
                 term = out_ref[pl.ds(pl.multiple_of(idx * bt, bt), bt), :]
                 if gf_order != 2:
-                    term = _gf_mul_scalar(term, tab_ref[i, c_sval + s])
+                    term = _gf_mul_scalar(term, tab_ref[c_sval + s, i])
                 acc = acc ^ term
             for s in range(pmax):
-                pidx = tab_ref[i, c_pidx + s]
+                pidx = tab_ref[c_pidx + s, i]
                 off = pl.multiple_of((k * bt) + pidx * bt, bt)
                 term = out_ref[pl.ds(off, bt), :]
                 if gf_order != 2:
-                    term = _gf_mul_scalar(term, tab_ref[i, c_pval + s])
+                    term = _gf_mul_scalar(term, tab_ref[c_pval + s, i])
                 acc = acc ^ term
             if gf_order != 2:
-                acc = _gf_mul_scalar(acc, tab_ref[i, c_dinv])
+                acc = _gf_mul_scalar(acc, tab_ref[c_dinv, i])
             out_ref[pl.ds(pl.multiple_of((k + i) * bt, bt), bt), :] = acc
             return carry
 
@@ -95,7 +98,7 @@ def _make_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("gf_order", "b_tile", "interpret")
+    jax.jit, static_argnames=("gf_order", "b_tile", "tiled_out", "interpret")
 )
 def encode_packed_vmem(
     arrays: CodeArrays,
@@ -103,6 +106,7 @@ def encode_packed_vmem(
     *,
     gf_order: int = 2,
     b_tile: int = 8,
+    tiled_out: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """VMEM-resident packed systematic encode: (B, k, W) -> (B, n, W).
@@ -111,6 +115,12 @@ def encode_packed_vmem(
     tests/test_pallas_encode.py). ``source`` is uint32 words for binary, or
     uint8 byte symbols (W % 4 == 0) for gf_order=256. ``b_tile`` must be a
     multiple of 8 on hardware.
+
+    ``tiled_out=True`` returns the kernel's NATIVE tile-major layout
+    (ntiles, (n+1)*b_tile, W) uint32 (word-packed for gf_order=256; pad
+    frames/rows zero) — exactly what ``peel_decode_vmem(..., tiled=True,
+    b_tile=b_tile)`` consumes, skipping one full-batch HBM transpose on
+    each side (:func:`ops.pallas_peel.tile_wide` documents the layout).
     """
     b, k, w = source.shape
     m, dmax = arrays.enc_src_idx.shape
@@ -164,7 +174,7 @@ def encode_packed_vmem(
             arrays.enc_diag_inv.astype(jnp.int32)[:, None],
         ],
         axis=1,
-    )
+    ).T
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
@@ -185,6 +195,8 @@ def encode_packed_vmem(
         ),
         interpret=interpret,
     )(tab, st)
+    if tiled_out:
+        return out_t  # native tile layout (word-packed for NB)
     cw = out_t.reshape(ntiles, n + 1, bt, w).swapaxes(1, 2).reshape(
         bp, n + 1, w
     )[:b, :n]

@@ -72,6 +72,37 @@ def _gf_mul_scalar(v, coef):
     return acc
 
 
+def tile_wide(values: jax.Array, b_tile: int) -> jax.Array:
+    """(B, n, W) -> the kernel's tile-major layout (ntiles, (n+1)*bt, W).
+
+    The on-accelerator wide-batch layout: frames grouped into ``b_tile``
+    tiles, each tile symbol-major with its frames contiguous under every
+    symbol, plus the shared zero pad row at slot n. ``encode_packed_vmem``
+    emits this layout natively with ``tiled_out=True`` and
+    ``peel_decode_vmem`` consumes it with ``tiled=True`` — chaining them in
+    tile layout skips two full-batch HBM transpose passes (~26 ms/step at
+    B=2048, W=256 on v5e; the single biggest non-sweep cost of the decode
+    step). For GF(256) tile the PACKED uint32 form (4 bytes/word).
+    """
+    b, n, w = values.shape
+    bt = int(b_tile)
+    ntiles = -(-b // bt)
+    vpad = jnp.pad(values, ((0, ntiles * bt - b), (0, 1), (0, 0)))
+    return vpad.reshape(ntiles, bt, n + 1, w).swapaxes(1, 2).reshape(
+        ntiles, (n + 1) * bt, w
+    )
+
+
+def untile_wide(vt: jax.Array, b: int, n: int) -> jax.Array:
+    """Inverse of :func:`tile_wide`: (ntiles, (n+1)*bt, W) -> (B, n, W)."""
+    ntiles, rows, w = vt.shape
+    n1 = n + 1
+    bt = rows // n1
+    return vt.reshape(ntiles, n1, bt, w).swapaxes(1, 2).reshape(
+        ntiles * bt, n1, w
+    )[:b, :n]
+
+
 def _make_kernel(
     *, n: int, k_stop: int, m: int, dmax: int, bt: int, max_iters: int,
     skip_idle: bool, cond_stores: bool, gf_order: int, serpentine: bool,
@@ -80,9 +111,17 @@ def _make_kernel(
     n1 = n + 1
 
     def kernel(
-        topo_ref,   # (m, dmax) int32 SMEM (scalar prefetch), pad = n
-        coef_ref,   # (m, dmax) int32 SMEM: GF coefficients, pad = 0
-        inv_ref,    # (m, dmax) int32 SMEM: inverse coefficients, pad = 0
+        topo_ref,   # (dmax, m) int32 SMEM (scalar prefetch), pad = n
+        coef_ref,   # (dmax, m) int32 SMEM: GF coefficients, pad = 0
+                    #   ((1, 1) dummy for binary — never read)
+        inv_ref,    # (dmax, m) int32 SMEM: inverse coefficients, pad = 0
+                    #   ((1, 1) dummy for binary — never read)
+                    # TRANSPOSED so the SMEM lane padding (minor dim padded
+                    # to 128 words per sublane) lands on the long m axis:
+                    # (m, dmax) costs m*128*4 bytes per operand — 1.5 MB for
+                    # the three at m=1000, over the 1 MB scoped-SMEM budget
+                    # (only the m=510 code compiled); (dmax, m) costs
+                    # dmax*pad128(m)*4 ≈ 29-61 KB for every shipped code.
         vals_hbm,   # (ntiles, n1*bt, W) uint32 ANY (stays in HBM; manual DMA)
         emask_ref,  # (n1*bt, 1) int8 VMEM in (copy-in masking only)
         er_ref,     # (n1, bt) int32 VMEM in
@@ -125,7 +164,7 @@ def _make_kernel(
                 c = jnp.where(rev != 0, (m - 1) - cc, cc)
             else:
                 c = cc
-            idxs = [topo_ref[c, s] for s in range(dmax)]
+            idxs = [topo_ref[s, c] for s in range(dmax)]
             es = [er_out[pl.ds(idxs[s], 1), :] for s in range(dmax)]
             cnt = es[0]
             for s in range(1, dmax):
@@ -145,7 +184,7 @@ def _make_kernel(
                     # selected XOR per (bit, slot). acc = sum_s coef_s (x) v_s
                     # = each check's weighted syndrome; the erased slot holds
                     # zero and contributes nothing regardless of coefficient.
-                    coefs = [coef_ref[c, s] for s in range(dmax)]
+                    coefs = [coef_ref[s, c] for s in range(dmax)]
                     acc = jnp.zeros_like(rows[0])
                     for bit in range(7, -1, -1):
                         if bit < 7:
@@ -183,7 +222,7 @@ def _make_kernel(
                     else:
                         # Solved symbol = inv(h_e) (x) weighted syndrome
                         # (My_LDPC_HybridML_NonBinary_Erasure_Decoder.m:44-48).
-                        val = _gf_mul_scalar(acc, inv_ref[c, s])
+                        val = _gf_mul_scalar(acc, inv_ref[s, c])
                     vals_out[pl.ds(offs[s], bt), :] = jnp.where(
                         cond_f, val, rows[s]
                     )
@@ -258,7 +297,7 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "max_iters", "early_stop_k", "b_tile", "skip_idle",
-        "cond_stores", "gf_order", "serpentine", "interpret",
+        "cond_stores", "gf_order", "serpentine", "tiled", "interpret",
     ),
 )
 def peel_decode_vmem(
@@ -273,6 +312,7 @@ def peel_decode_vmem(
     cond_stores: bool | None = None,
     gf_order: int = 2,
     serpentine: bool = False,
+    tiled: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """VMEM-resident peeling decode; sequential (MATLAB) schedule.
@@ -316,16 +356,43 @@ def peel_decode_vmem(
         direction the MATLAB schedule was designed for — so reversing
         every other sweep adds a sweep instead of saving one). Kept as a
         research knob.
+      tiled: ``values`` is already in the kernel's tile-major layout
+        (:func:`tile_wide`; ``encode_packed_vmem(..., tiled_out=True)``
+        emits it natively) — (ntiles, (n+1)*b_tile, W) uint32, ALREADY
+        word-packed for gf_order=256. Skips the full-batch host transpose
+        on the way in (~26 ms/step at the headline shape) and returns
+        ``values`` in the same tiled layout (``untile_wide`` converts;
+        pad-frame lanes are unspecified). The production layout for
+        encode->channel->decode pipelines.
 
-    Returns (values, erased, iters) — (B, n, W), (B, n) bool, (B,) int32.
+    Returns (values, erased, iters) — (B, n, W), (B, n) bool, (B,) int32;
+    with ``tiled=True`` values is (ntiles, (n+1)*b_tile, W).
     """
-    b, n, w = values.shape
+    b, n = erased.shape
     m, dmax = arrays.vlist_idx.shape
     k_stop = n if early_stop_k is None else int(early_stop_k)
     bt = int(b_tile)
     n1 = n + 1
     ntiles = -(-b // bt)
     bp = ntiles * bt
+    if tiled:
+        if values.dtype != jnp.uint32:
+            raise ValueError(
+                "tiled=True expects uint32 (word-packed for gf_order=256)"
+            )
+        if values.shape != (ntiles, n1 * bt, values.shape[2]):
+            raise ValueError(
+                f"tiled values shape {values.shape} != "
+                f"({ntiles}, {n1 * bt}, W) for B={b}, b_tile={bt}"
+            )
+        w = values.shape[2]
+    else:
+        if values.shape[:2] != (b, n):
+            raise ValueError(
+                f"values shape {values.shape} inconsistent with erased "
+                f"{erased.shape}"
+            )
+        w = values.shape[2]
     if not interpret and jax.default_backend() == "cpu":
         # No Mosaic on the CPU backend — fall back to the interpreter so
         # callers (hybrid_decode, sims, tests) are backend-agnostic.
@@ -335,7 +402,7 @@ def peel_decode_vmem(
             f"b_tile={bt} must be a multiple of 8 on hardware (Mosaic "
             "sublane-aligned dynamic slices)"
         )
-    w_eff = w // 4 if gf_order == 256 else w
+    w_eff = w // 4 if (gf_order == 256 and not tiled) else w
     if not interpret and w_eff % 128 != 0:
         raise ValueError(
             f"W={w_eff} uint32 words must be a multiple of 128 on hardware "
@@ -352,7 +419,7 @@ def peel_decode_vmem(
         cond_stores = False
 
     packed_nb = gf_order == 256
-    if packed_nb:
+    if packed_nb and not tiled:
         if values.dtype != jnp.uint8 or w % 4 != 0:
             raise ValueError(
                 "gf_order=256 needs uint8 values with W a multiple of 4"
@@ -362,12 +429,15 @@ def peel_decode_vmem(
         )
         w = w // 4
 
-    vpad = jnp.pad(values, ((0, bp - b), (0, 1), (0, 0)))
     epad = jnp.pad(erased, ((0, bp - b), (0, 1)))
-    # Values: (ntiles, n1*bt, W), the tile's bt frames contiguous per symbol.
-    vt = vpad.reshape(ntiles, bt, n1, w).swapaxes(1, 2).reshape(
-        ntiles, n1 * bt, w
-    )
+    if tiled:
+        vt = values
+    else:
+        vpad = jnp.pad(values, ((0, bp - b), (0, 1), (0, 0)))
+        # (ntiles, n1*bt, W), the tile's bt frames contiguous per symbol.
+        vt = vpad.reshape(ntiles, bt, n1, w).swapaxes(1, 2).reshape(
+            ntiles, n1 * bt, w
+        )
     # Copy-in mask sidecar, same row order as vt.
     emask = epad.astype(jnp.int8).reshape(ntiles, bt, n1).swapaxes(
         1, 2
@@ -435,6 +505,13 @@ def peel_decode_vmem(
             pltpu.SemaphoreType.DMA,
         ],
     )
+    if gf_order == 2:
+        # Coefficients are never read on the binary path — 1x1 dummies keep
+        # their SMEM slots negligible.
+        coef_t = inv_t = jnp.zeros((1, 1), jnp.int32)
+    else:
+        coef_t = arrays.vlist_val.astype(jnp.int32).T
+        inv_t = arrays.vlist_inv_val.astype(jnp.int32).T
     vals_t, er_t, iters_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -448,19 +525,22 @@ def peel_decode_vmem(
         ),
         interpret=interpret,
     )(
-        arrays.vlist_idx,
-        arrays.vlist_val.astype(jnp.int32),
-        arrays.vlist_inv_val.astype(jnp.int32),
+        arrays.vlist_idx.T,
+        coef_t,
+        inv_t,
         vt, emask, et, resid,
     )
 
-    vals = vals_t.reshape(ntiles, n1, bt, w).swapaxes(1, 2).reshape(
-        bp, n1, w
-    )[:b, :n]
-    if packed_nb:
-        vals = jax.lax.bitcast_convert_type(vals, jnp.uint8).reshape(
-            b, n, 4 * w
-        )
+    if tiled:
+        vals = vals_t  # stay in tile layout (word-packed for NB)
+    else:
+        vals = vals_t.reshape(ntiles, n1, bt, w).swapaxes(1, 2).reshape(
+            bp, n1, w
+        )[:b, :n]
+        if packed_nb:
+            vals = jax.lax.bitcast_convert_type(vals, jnp.uint8).reshape(
+                b, n, 4 * w
+            )
     er = (
         er_t.swapaxes(1, 2).reshape(bp, n1)[:b, :n] != 0
     )

@@ -41,3 +41,72 @@ def test_nb_matches_xla():
         arrays, src, gf_order=256, b_tile=4, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_tiled_out_matches_tile_wide():
+    """tiled_out=True returns exactly tile_wide(flat output) — the native
+    tile handoff feeding peel_decode_vmem(tiled=True)."""
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import tile_wide
+
+    code = get_code("n2000_k1000")
+    arrays = device_arrays(code)
+    b, w, bt = 5, 2, 4
+    src = jax.random.bits(jax.random.key(3), (b, code.k, w), dtype=jnp.uint32)
+    flat = encode_packed_vmem(arrays, src, b_tile=bt, interpret=True)
+    tiled = encode_packed_vmem(
+        arrays, src, b_tile=bt, tiled_out=True, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tiled), np.asarray(tile_wide(flat, bt))
+    )
+
+
+def test_tiled_out_nb_word_packed():
+    """NB tiled_out is the word-packed uint32 tile layout."""
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import tile_wide
+
+    code = toy_code(n=60, k=36, seed=2, gf_order=256)
+    arrays = device_arrays(code)
+    b, w, bt = 6, 8, 4
+    src = jax.random.bits(jax.random.key(4), (b, code.k, w), dtype=jnp.uint8)
+    flat = encode_packed_vmem(
+        arrays, src, gf_order=256, b_tile=bt, interpret=True
+    )
+    packed = jax.lax.bitcast_convert_type(
+        flat.reshape(b, code.n, w // 4, 4), jnp.uint32
+    )
+    tiled = encode_packed_vmem(
+        arrays, src, gf_order=256, b_tile=bt, tiled_out=True, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tiled), np.asarray(tile_wide(packed, bt))
+    )
+
+
+def test_tiled_encode_decode_chain():
+    """Full native-layout chain: encode(tiled_out) -> decode(tiled) equals
+    the flat chain bit-exactly (values on resolved symbols, mask, iters)."""
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import (
+        peel_decode_vmem, untile_wide,
+    )
+
+    code = get_code("n2000_k1000")
+    arrays = device_arrays(code)
+    b, w, bt = 6, 2, 4
+    src = jax.random.bits(jax.random.key(5), (b, code.k, w), dtype=jnp.uint32)
+    mask = jax.random.uniform(jax.random.key(6), (b, code.n)) < 0.3
+    cw = encode_packed_vmem(arrays, src, b_tile=bt, interpret=True)
+    v1, e1, i1 = peel_decode_vmem(
+        arrays, cw, mask, max_iters=50, b_tile=bt, interpret=True
+    )
+    cwt = encode_packed_vmem(
+        arrays, src, b_tile=bt, tiled_out=True, interpret=True
+    )
+    v2t, e2, i2 = peel_decode_vmem(
+        arrays, cwt, mask, max_iters=50, b_tile=bt, tiled=True,
+        interpret=True,
+    )
+    v2 = untile_wide(v2t, b, code.n)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))

@@ -219,3 +219,76 @@ def test_hybrid_vmem_impl():
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_tile_roundtrip():
+    """tile_wide/untile_wide invert each other, incl. ragged batch."""
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import tile_wide, untile_wide
+
+    for b, n, w, bt in [(8, 12, 3, 4), (5, 7, 2, 4), (3, 9, 1, 8)]:
+        x = jax.random.bits(jax.random.key(b), (b, n, w), dtype=jnp.uint32)
+        t = tile_wide(x, bt)
+        ntiles = -(-b // bt)
+        assert t.shape == (ntiles, (n + 1) * bt, w)
+        np.testing.assert_array_equal(
+            np.asarray(untile_wide(t, b, n)), np.asarray(x)
+        )
+
+
+def test_tiled_io_matches_untiled():
+    """tiled=True on tile_wide(recv) gives the identical decode (values,
+    mask, iteration counts) as the flat path, with values returned in the
+    tile layout."""
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import tile_wide, untile_wide
+
+    code = gen_row_wise([(16, 6)], [(48, 2)], seed=3, max_tries=40,
+                        strict_tries=4)
+    b, w, bt = 6, 2, 4
+    arrays, cw, recv, mask = _make_case(code, b, w, 0.25, seed=5)
+    v1, e1, i1 = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, b_tile=bt, interpret=True
+    )
+    vt = tile_wide(recv, bt)
+    v2t, e2, i2 = peel_decode_vmem(
+        arrays, vt, mask, max_iters=50, b_tile=bt, tiled=True, interpret=True
+    )
+    assert v2t.shape == vt.shape
+    v2 = untile_wide(v2t, b, code.n)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_tiled_nb_matches_untiled():
+    """GF(256) tiled path: word-packed tile input/output equals the flat
+    uint8 path bit-exactly."""
+    from ldpc_erasure_codes_tpu.codes import toy_code
+    from ldpc_erasure_codes_tpu.ops import encode_packed
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import tile_wide, untile_wide
+
+    code = toy_code(n=60, k=36, seed=2, gf_order=256)
+    arrays = device_arrays(code)
+    b, w, bt = 6, 8, 4
+    key = jax.random.key(21)
+    src = jax.random.bits(key, (b, code.k, w), dtype=jnp.uint8)
+    cw = encode_packed(arrays, src, gf_order=256)
+    mask = jax.random.uniform(jax.random.fold_in(key, 1), (b, code.n)) < 0.15
+    recv = jnp.where(mask[:, :, None], jnp.uint8(0), cw)
+    v1, e1, i1 = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, gf_order=256, b_tile=bt,
+        interpret=True,
+    )
+    packed = jax.lax.bitcast_convert_type(
+        recv.reshape(b, code.n, w // 4, 4), jnp.uint32
+    )
+    vt = tile_wide(packed, bt)
+    v2t, e2, i2 = peel_decode_vmem(
+        arrays, vt, mask, max_iters=50, gf_order=256, b_tile=bt,
+        tiled=True, interpret=True,
+    )
+    v2 = jax.lax.bitcast_convert_type(
+        untile_wide(v2t, b, code.n), jnp.uint8
+    ).reshape(b, code.n, w)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
