@@ -106,9 +106,14 @@ def untile_wide(vt: jax.Array, b: int, n: int) -> jax.Array:
 def _make_kernel(
     *, n: int, k_stop: int, m: int, dmax: int, bt: int, max_iters: int,
     skip_idle: bool, cond_stores: bool, gf_order: int, serpentine: bool,
-    interpret: bool,
+    jacobi: bool, m_pad: int, interpret: bool,
 ):
     n1 = n + 1
+    if jacobi:
+        return _make_jacobi_kernel(
+            n=n, k_stop=k_stop, m=m, m_pad=m_pad, dmax=dmax, bt=bt,
+            max_iters=max_iters, gf_order=gf_order, interpret=interpret,
+        )
 
     def kernel(
         topo_ref,   # (dmax, m) int32 SMEM (scalar prefetch), pad = n
@@ -293,11 +298,211 @@ def _make_kernel(
     return kernel
 
 
+def _make_jacobi_kernel(
+    *, n: int, k_stop: int, m: int, m_pad: int, dmax: int, bt: int,
+    max_iters: int, gf_order: int, interpret: bool,
+):
+    """Jacobi-detection sweep: degree-1 detection from a per-sweep MXU count
+    matrix instead of per-check erasure-row sums.
+
+    The sequential kernel's count phase is the dominant cost at the headline
+    shape (~17.5 ms of a ~65 ms decode per step at B=2048: every one of the
+    m x ntiles check visits pays dmax SMEM index loads + dmax tiny dynamic
+    (1, bt) slices + a reduce, ~550 ns/visit, even when idle). Here ALL check
+    degrees are computed at sweep start with ONE matmul on the MXU —
+    ``cnt = H_dense @ er`` ((m_pad, n1) bf16 x (n1, bt), ~33M MACs,
+    microseconds — counts <= dmax are exact in bf16) — and the sweep scans
+    ``cnt`` in 8-check sublane blocks: one (8, bt) load + compare + reduce +
+    scalar branch retires 8 idle checks (~27x cheaper than the sequential
+    count phase).
+
+    Detection from sweep-start counts = the JACOBI schedule: events this
+    sweep are exactly the checks with one erased neighbor at sweep start, so
+    masks and iteration counts match the XLA ``peel_decode`` Jacobi paths
+    bit-exactly (asserted in tests), not the MATLAB sequential schedule
+    (more sweeps: <=8 vs <=5 at the headline point — but each extra sweep is
+    the cheap mostly-idle kind). The fixed point and all resolved values are
+    schedule-invariant (SURVEY §7).
+
+    The sweep's bookkeeping is fully vectorized too — eventful checks do
+    ONLY the wide value work:
+      * the erased-slot ID per (check, frame) rides the same matmul: the
+        stacked operand [H; Hs] (Hs[c, j] = slot index of j in check c)
+        yields cnt and ``eid`` in one MXU pass — when cnt == 1, eid IS the
+        erased slot, so the per-slot store conds are register compares
+        (``deg1 & (eid == s)``), no per-slot erasure-row loads;
+      * the erasure-state/residual updates happen once per sweep as
+        elementwise passes: ``touch = H^T @ deg1`` counts the degree-1
+        checks pointing at each symbol, ``resolved = er & (touch >= 1)``
+        (a deg-1 check's one erased neighbor is resolved by definition),
+        ``er -= resolved``; no per-slot er stores, no double counts;
+      * value stores are double-resolve-safe by construction: the
+        exclude-self value ``val_s = inv_s (x) acc_all  XOR  rows[s]``
+        (binary: ``acc_all ^ rows[s]``) is exact whether row s still holds
+        the erased zero (acc_all = coef_s (x) v_s, rows[s] = 0) or was
+        already written by an earlier check this sweep (acc_all = 0,
+        rows[s] = v_s) — monotone-erasure: every OTHER neighbor of a
+        stale-deg1 check was known at sweep start and is never rewritten.
+    """
+    n1 = n + 1
+    nblk = m_pad // 8
+
+    def kernel(
+        topo_ref,   # (dmax, m_pad) int32 SMEM, pad cols/slots = n
+        coef_ref,   # (dmax, m_pad) int32 SMEM ((1, 1) dummy for binary)
+        inv_ref,    # (dmax, m_pad) int32 SMEM ((1, 1) dummy for binary)
+        vals_hbm,   # (ntiles, n1*bt, W) uint32 ANY (manual DMA)
+        emask_ref,  # (n1*bt, 1) int8 VMEM in
+        er_ref,     # (n1, bt) int32 VMEM in
+        resid_ref,  # (1, bt) int32 VMEM in
+        h2_ref,     # (2*m_pad, n1) bf16 VMEM in: [H support; slot-index
+                    # weighted H], col n = 0, pad rows 0
+        ht_ref,     # (n1, m_pad) bf16 VMEM in: H^T support
+        vals_out,   # (n1*bt, W) uint32 VMEM out (working buffer)
+        er_out,     # (n1, bt) int32 VMEM out (working buffer)
+        iters_out,  # (1, bt) int32 VMEM out
+        resid_scr,  # (1, bt) int32 VMEM scratch
+        cnt_scr,    # (2*m_pad, bt) f32 VMEM scratch: [check degrees; eid]
+        chk_v,      # (m_pad, 1) int32 VMEM scratch: per-check event flags
+        chk_smem,   # (m_pad, 1) int32 SMEM: the same flags, DMA'd once per
+                    # sweep so the scan is pure scalar loads + branches (a
+                    # per-block vector->SMEM reduce/branch roundtrip measured
+                    # ~2.9 us EACH — 11.8 ms/sweep at the headline shape,
+                    # slower than the sequential count phase it replaced)
+        flag_smem,  # (3,) int32 SMEM: [done, unused, unused]
+        copy_sem,   # DMA semaphore (copy-in, then reused per sweep)
+    ):
+        if interpret:
+            src = vals_hbm.at[pl.program_id(0)]
+        else:
+            src = vals_hbm.at[pl.ds(pl.program_id(0), 1)]
+        cp = pltpu.make_async_copy(src, vals_out, copy_sem)
+        cp.start()
+        cp.wait()
+        vals_out[...] = jnp.where(
+            emask_ref[...] != 0, jnp.uint32(0), vals_out[...]
+        )
+        er_out[...] = er_ref[...]
+        resid_scr[...] = resid_ref[...]
+        iters_out[...] = jnp.zeros((1, bt), jnp.int32)
+        flag_smem[0] = 0
+
+        def check_work(c, deg1, eid):
+            # deg1, eid: (1, bt) from the sweep-start count matmul. Pure
+            # wide value work — all mask bookkeeping is vectorized outside.
+            idxs = [topo_ref[s, c] for s in range(dmax)]
+            offs = [pl.multiple_of(idxs[s] * bt, bt) for s in range(dmax)]
+            rows = [vals_out[pl.ds(o, bt), :] for o in offs]
+            if gf_order == 2:
+                acc = rows[0]
+                for s in range(1, dmax):
+                    acc = acc ^ rows[s]
+            else:
+                coefs = [coef_ref[s, c] for s in range(dmax)]
+                acc = jnp.zeros_like(rows[0])
+                for bit in range(7, -1, -1):
+                    if bit < 7:
+                        acc = _xtime(acc)
+                    for s in range(dmax):
+                        bv = ((coefs[s] >> bit) & 1).astype(jnp.uint32)
+                        acc = acc ^ (rows[s] * bv)
+            conds = [
+                (deg1 & (eid == float(s))).astype(jnp.int32)
+                for s in range(dmax)
+            ]
+            conds_mat = jnp.concatenate(conds, axis=0)  # (dmax, bt)
+            conds_f = jnp.transpose(conds_mat)          # (bt, dmax)
+            for s in range(dmax):
+                cond_f = conds_f[:, s : s + 1] != 0  # (bt, 1) frame space
+                if gf_order == 2:
+                    val = acc ^ rows[s]
+                else:
+                    # inv_s (x) (acc XOR coef_s (x) rows[s]) simplifies to
+                    # inv_s (x) acc XOR rows[s] since inv_s = coef_s^-1.
+                    val = _gf_mul_scalar(acc, inv_ref[s, c]) ^ rows[s]
+                vals_out[pl.ds(offs[s], bt), :] = jnp.where(
+                    cond_f, val, rows[s]
+                )
+
+        def blk_body(blk, carry):
+            # Pure scalar skip logic: flags live in SMEM (one DMA per
+            # sweep), so idle blocks/checks cost scalar-core loads and
+            # branches only — no vector->scalar pipeline stalls.
+            base = blk * 8
+            bsum = chk_smem[base, 0]
+            for j in range(1, 8):
+                bsum = bsum + chk_smem[base + j, 0]
+
+            @pl.when(bsum > 0)
+            def _():
+                for j in range(8):
+
+                    @pl.when(chk_smem[base + j, 0] > 0)
+                    def _(j=j):
+                        c = base + j
+                        deg1 = cnt_scr[pl.ds(c, 1), :] == 1.0
+                        eid = cnt_scr[pl.ds(m_pad + c, 1), :]
+                        check_work(c, deg1, eid)
+
+            return carry
+
+        def sweep_body(it, carry):
+            @pl.when(flag_smem[0] == 0)
+            def _():
+                # Check degrees AND erased-slot ids in one MXU pass (both
+                # exact in bf16: counts <= dmax, slot-id sums <= dmax^2).
+                er_bf = er_out[...].astype(jnp.bfloat16)
+                cnt_scr[...] = jnp.dot(
+                    h2_ref[...], er_bf, preferred_element_type=jnp.float32
+                )
+                deg1f = (
+                    cnt_scr[pl.ds(0, m_pad), :] == 1.0
+                )
+                deg1i = deg1f.astype(jnp.int32)
+                chk_v[...] = jnp.sum(deg1i, axis=1, keepdims=True)
+                fcp = pltpu.make_async_copy(chk_v, chk_smem, copy_sem)
+                fcp.start()
+                # Vectorized mask/residual bookkeeping (overlaps the flag
+                # DMA): a degree-1 check's single erased neighbor is
+                # resolved by definition, so resolved = er & (touch >= 1).
+                touch = jnp.dot(
+                    ht_ref[...],
+                    deg1f.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )  # (n1, bt)
+                resolved = er_out[...] * (touch >= 1.0).astype(jnp.int32)
+                er_out[...] = er_out[...] - resolved
+                dec = jnp.sum(
+                    resolved[:k_stop, :], axis=0, keepdims=True,
+                    dtype=jnp.int32,
+                )
+                resid_scr[...] = resid_scr[...] - dec
+                ch = jnp.sum(resolved)
+                fcp.wait()
+                jax.lax.fori_loop(0, nblk, blk_body, 0)
+                resid = resid_scr[...]
+                prev = iters_out[...]
+                iters_out[...] = jnp.where(
+                    (resid == 0) & (prev == 0), jnp.int32(it + 1), prev
+                )
+                rs = jnp.sum(resid)
+                flag_smem[0] = jnp.where(
+                    (ch == 0) | (rs == 0), jnp.int32(1), jnp.int32(0)
+                )
+
+            return carry
+
+        jax.lax.fori_loop(0, max_iters, sweep_body, 0)
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "max_iters", "early_stop_k", "b_tile", "skip_idle",
-        "cond_stores", "gf_order", "serpentine", "tiled", "interpret",
+        "cond_stores", "gf_order", "serpentine", "schedule", "tiled",
+        "interpret",
     ),
 )
 def peel_decode_vmem(
@@ -312,6 +517,7 @@ def peel_decode_vmem(
     cond_stores: bool | None = None,
     gf_order: int = 2,
     serpentine: bool = False,
+    schedule: str = "seq",
     tiled: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -356,6 +562,16 @@ def peel_decode_vmem(
         direction the MATLAB schedule was designed for — so reversing
         every other sweep adds a sweep instead of saving one). Kept as a
         research knob.
+      schedule: ``"seq"`` (default) runs the MATLAB sequential Gauss-Seidel
+        sweep (bit-exact vs the oracle, iteration counts included);
+        ``"jacobi"`` detects degree-1 checks from sweep-start counts
+        computed in ONE MXU matmul per sweep and scans them in 8-check
+        blocks — the idle-check cost drops ~27x, at the price of the
+        Jacobi sweep count (<=8 vs <=5 at the headline point; masks AND
+        iteration counts match the XLA ``peel_decode`` Jacobi paths
+        bit-exactly, asserted in tests). Fixed point and all resolved
+        values are schedule-invariant. ``"seq"`` is the MATLAB-parity
+        schedule and the measured production default.
       tiled: ``values`` is already in the kernel's tile-major layout
         (:func:`tile_wide`; ``encode_packed_vmem(..., tiled_out=True)``
         emits it natively) — (ntiles, (n+1)*b_tile, W) uint32, ALREADY
@@ -417,6 +633,12 @@ def peel_decode_vmem(
         # for more than the skipped stores / inverse multiplies cost. Kept
         # as a research knob.
         cond_stores = False
+    if schedule not in ("seq", "jacobi"):
+        raise ValueError(f"schedule must be 'seq' or 'jacobi', got {schedule!r}")
+    jacobi = schedule == "jacobi"
+    if jacobi and serpentine:
+        raise ValueError("serpentine applies to the sequential schedule only")
+    m_pad = -(-m // 8) * 8 if jacobi else m
 
     packed_nb = gf_order == 256
     if packed_nb and not tiled:
@@ -451,7 +673,8 @@ def peel_decode_vmem(
     kernel = _make_kernel(
         n=n, k_stop=k_stop, m=m, dmax=dmax, bt=bt, max_iters=max_iters,
         skip_idle=skip_idle, cond_stores=cond_stores, gf_order=gf_order,
-        serpentine=serpentine, interpret=interpret,
+        serpentine=serpentine, jacobi=jacobi, m_pad=m_pad,
+        interpret=interpret,
     )
     # The big values operand stays in HBM (manual DMA straight into the
     # working/output window), so VMEM holds only the output copies. Large
@@ -466,24 +689,56 @@ def peel_decode_vmem(
     # lanes); a tight per-shape bound buys nothing and under-estimating it
     # kills the compile.
     vmem_limit = 112 * 1024 * 1024
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(
+            (None, n1 * bt, 1), lambda i, topo, cf, iv: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (None, n1, bt), lambda i, topo, cf, iv: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (None, 1, bt), lambda i, topo, cf, iv: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if jacobi:
+        # Dense [H; slot-weighted H] for the per-sweep MXU count/eid matmul
+        # and H^T for the vectorized resolve pass (constant across the
+        # grid; ~6 MB bf16 at the headline code) + the scratches they fill.
+        in_specs.append(
+            pl.BlockSpec(
+                (2 * m_pad, n1), lambda i, topo, cf, iv: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (n1, m_pad), lambda i, topo, cf, iv: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        scratch_shapes = [
+            pltpu.VMEM((1, bt), jnp.int32),
+            pltpu.VMEM((2 * m_pad, bt), jnp.float32),
+            pltpu.VMEM((m_pad, 1), jnp.int32),
+            pltpu.SMEM((m_pad, 1), jnp.int32),
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((1, bt), jnp.int32),
+            pltpu.VMEM((1, bt), jnp.int32),
+        ]
+    scratch_shapes += [
+        pltpu.SMEM((3,), jnp.int32),
+        pltpu.SemaphoreType.DMA,
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (None, n1 * bt, 1), lambda i, topo, cf, iv: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, n1, bt), lambda i, topo, cf, iv: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, 1, bt), lambda i, topo, cf, iv: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
                 (None, n1 * bt, w), lambda i, topo, cf, iv: (i, 0, 0),
@@ -498,13 +753,9 @@ def peel_decode_vmem(
                 memory_space=pltpu.VMEM,
             ),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((1, bt), jnp.int32),
-            pltpu.VMEM((1, bt), jnp.int32),
-            pltpu.SMEM((3,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch_shapes,
     )
+    topo_t = arrays.vlist_idx.T
     if gf_order == 2:
         # Coefficients are never read on the binary path — 1x1 dummies keep
         # their SMEM slots negligible.
@@ -512,6 +763,33 @@ def peel_decode_vmem(
     else:
         coef_t = arrays.vlist_val.astype(jnp.int32).T
         inv_t = arrays.vlist_inv_val.astype(jnp.int32).T
+    operands = [vt, emask, et, resid]
+    if jacobi:
+        if m_pad > m:
+            # Pad checks: topology points at the always-unerased pad slot,
+            # H rows are zero, so their counts are 0 and they never fire.
+            topo_t = jnp.pad(topo_t, ((0, 0), (0, m_pad - m)),
+                             constant_values=n)
+            if gf_order != 2:
+                coef_t = jnp.pad(coef_t, ((0, 0), (0, m_pad - m)))
+                inv_t = jnp.pad(inv_t, ((0, 0), (0, m_pad - m)))
+        hb = jnp.pad(
+            arrays.h.astype(jnp.float32), ((0, m_pad - m), (0, 1))
+        )  # (m_pad, n1), col n and pad rows zero
+        # Slot-index weighted support: Hs[c, vlist_idx[c, s]] = s. Exact in
+        # bf16 (row sums <= dmax^2 < 256).
+        hs = jnp.zeros((m, n1), jnp.float32)
+        hs = hs.at[
+            jnp.arange(m)[:, None], arrays.vlist_idx
+        ].set(jnp.broadcast_to(
+            jnp.arange(dmax, dtype=jnp.float32)[None, :], (m, dmax)
+        ))
+        hs = hs.at[:, n].set(0.0)
+        hs = jnp.pad(hs, ((0, m_pad - m), (0, 0)))
+        operands.append(
+            jnp.concatenate([hb, hs], axis=0).astype(jnp.bfloat16)
+        )
+        operands.append(hb.T.astype(jnp.bfloat16))
     vals_t, er_t, iters_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -525,10 +803,10 @@ def peel_decode_vmem(
         ),
         interpret=interpret,
     )(
-        arrays.vlist_idx.T,
+        topo_t,
         coef_t,
         inv_t,
-        vt, emask, et, resid,
+        *operands,
     )
 
     if tiled:

@@ -292,3 +292,93 @@ def test_tiled_nb_matches_untiled():
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+@pytest.mark.parametrize("bt", [4, 8])
+def test_jacobi_matches_xla_jacobi_bit_exact(bt):
+    """schedule="jacobi" = the Jacobi schedule run in VMEM: masks, resolved
+    values, AND iteration counts equal the XLA ``peel_decode`` Jacobi path
+    bit-exactly (detection from sweep-start MXU counts => events per sweep
+    are exactly the Jacobi events)."""
+    code = gen_row_wise([(16, 6)], [(48, 2)], seed=3, max_tries=40,
+                        strict_tries=4)
+    arrays, cw, recv, mask = _make_case(code, 10, 2, 0.25, seed=2)
+    v0, e0, i0 = peel_decode(arrays, recv, mask, max_iters=50)
+    v1, e1, i1 = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, b_tile=bt, schedule="jacobi",
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
+def test_jacobi_real_code_early_stop():
+    """(2040,1530) at the headline PER: first-k region, resolved values and
+    per-frame finish iterations equal the XLA Jacobi path under first-k
+    early stop (the FPGA contract: parity-region residuals are
+    stopping-schedule-dependent)."""
+    code = get_code("n2040_k1530")
+    arrays, cw, recv, mask = _make_case(code, 8, 2, 0.1406, seed=3)
+    k = code.k
+    v0, e0, i0 = peel_decode(
+        arrays, recv, mask, max_iters=50, early_stop_k=k
+    )
+    v1, e1, i1 = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, b_tile=8, schedule="jacobi",
+        early_stop_k=k, interpret=True,
+    )
+    e1_np, v1_np = np.asarray(e1), np.asarray(v1)
+    np.testing.assert_array_equal(np.asarray(e0)[:, :k], e1_np[:, :k])
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    # Every resolved symbol's value is exact (schedule-invariant).
+    np.testing.assert_array_equal(
+        v1_np[~e1_np], np.asarray(cw)[~e1_np]
+    )
+
+
+def test_jacobi_nb_matches_xla():
+    """GF(256) jacobi schedule equals the XLA NB Jacobi path bit-exactly
+    (the exclude-self value identity inv_s (x) acc XOR rows[s] must hold
+    over the weighted syndrome too)."""
+    from ldpc_erasure_codes_tpu.codes import toy_code
+
+    code = toy_code(n=60, k=36, seed=2, gf_order=256)
+    arrays = device_arrays(code)
+    b, w = 8, 8
+    key = jax.random.key(11)
+    src = jax.random.bits(key, (b, code.k, w), dtype=jnp.uint8)
+    cw = encode_packed(arrays, src, gf_order=256)
+    mask = jax.random.uniform(jax.random.fold_in(key, 1), (b, code.n)) < 0.18
+    recv = jnp.where(mask[:, :, None], jnp.uint8(0), cw)
+    v0, e0, i0 = peel_decode(arrays, recv, mask, max_iters=50, gf_order=256)
+    v1, e1, i1 = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, gf_order=256, b_tile=4,
+        schedule="jacobi", interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
+def test_jacobi_tiled_matches_flat():
+    """The tile-major I/O contract holds for the jacobi schedule too."""
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import tile_wide, untile_wide
+
+    code = gen_row_wise([(16, 6)], [(48, 2)], seed=3, max_tries=40,
+                        strict_tries=4)
+    b, w, bt = 6, 2, 4
+    arrays, cw, recv, mask = _make_case(code, b, w, 0.25, seed=5)
+    v1, e1, i1 = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, b_tile=bt, schedule="jacobi",
+        interpret=True,
+    )
+    v2t, e2, i2 = peel_decode_vmem(
+        arrays, tile_wide(recv, bt), mask, max_iters=50, b_tile=bt,
+        schedule="jacobi", tiled=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(
+        np.asarray(v1), np.asarray(untile_wide(v2t, b, code.n))
+    )
