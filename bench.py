@@ -56,6 +56,10 @@ def main() -> None:
     # 185.2 at B=1024 (pre-transpose-batching); B=3072 OOMs HBM
     # (16.5G > 15.75G).
     bt = int(os.environ.get("BENCH_TILE", "32"))
+    # Sweep schedule for the Pallas kernel: "seq" (MATLAB Gauss-Seidel
+    # parity) or "jacobi" (MXU-count degree-1 detection; see
+    # ops/pallas_peel.py docstring for the tradeoff).
+    schedule = os.environ.get("BENCH_SCHEDULE", "seq")
     symbol_bits = 32 * w
 
     key = jax.random.key(0)
@@ -80,7 +84,7 @@ def main() -> None:
             # HBM pass. Input and output ride the tile-major layout.
             values, erased, iters = peel_decode_vmem(
                 arrays, cw, mask, max_iters=50, early_stop_k=code.k,
-                b_tile=bt, tiled=True,
+                b_tile=bt, tiled=True, schedule=schedule,
             )
         else:
             recv = ch.apply_erasures(cw, mask)

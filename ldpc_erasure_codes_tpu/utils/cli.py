@@ -80,11 +80,14 @@ def cmd_sim(args) -> int:
 
 def make_throughput_step(
     code, arrays, *, batch: int, per: float, max_iters: int,
-    impl: str = "pallas",
+    impl: str = "pallas", schedule: str = "seq",
 ):
     """Jitted throughput step: on-device channel draw + wide value decode
     (impl 'pallas' = the production VMEM-resident kernel, masking fused
     into its copy-in; 'xla' = the symbol-major peel_decode_wide path).
+    ``schedule`` selects the Pallas sweep schedule (seq = MATLAB
+    Gauss-Seidel parity, jacobi = MXU-count detection; see
+    ops/pallas_peel.py).
 
     The returned step's outputs DEPEND on the codeword values (an XOR digest
     of the decoded symbols, as bench.py): mask evolution is value-
@@ -106,7 +109,7 @@ def make_throughput_step(
         if impl == "pallas":
             values, erased, _ = peel_decode_vmem(
                 arrays, cw, mask, max_iters=max_iters, early_stop_k=code.k,
-                b_tile=32,
+                b_tile=32, schedule=schedule,
             )
         else:
             recv = ch.apply_erasures(cw, mask)
@@ -137,7 +140,7 @@ def cmd_throughput(args) -> int:
 
     step = make_throughput_step(
         code, arrays, batch=b, per=args.per, max_iters=args.max_iters,
-        impl=args.impl,
+        impl=args.impl, schedule=args.schedule,
     )
     jax.block_until_ready(step(jax.random.fold_in(key, 999), cw))
     t0 = time.perf_counter()
@@ -422,6 +425,7 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--symbol-words", type=int, default=256)
     pt.add_argument("--max-iters", type=int, default=50)
     pt.add_argument("--impl", default="pallas", choices=["pallas", "xla"])
+    pt.add_argument("--schedule", default="seq", choices=["seq", "jacobi"])
     pt.add_argument("--reps", type=int, default=20)
     pt.set_defaults(fn=cmd_throughput)
 
