@@ -54,7 +54,10 @@ from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
 
 def _xtime(v):
     """SWAR multiply-by-x of four packed GF(256) bytes per uint32 lane
-    (prim poly 0x171 — gf.ops._xtime_packed, restated for Mosaic)."""
+    (prim poly 0x171 — gf.ops._xtime_packed, restated for Mosaic). The
+    VMEM kernels are pinned to the reference field: every shipped/liftable
+    code uses DEFAULT_PRIM_POLY; the gf.ops ``prim_poly`` parameter is for
+    field experimentation on the XLA paths only."""
     hi = (v >> 7) & jnp.uint32(0x01010101)
     return ((v << 1) & jnp.uint32(0xFEFEFEFE)) ^ (hi * jnp.uint32(0x71))
 
@@ -91,6 +94,19 @@ def tile_wide(values: jax.Array, b_tile: int) -> jax.Array:
     return vpad.reshape(ntiles, bt, n + 1, w).swapaxes(1, 2).reshape(
         ntiles, (n + 1) * bt, w
     )
+
+
+def default_b_tile(n: int, w: int, *, cap: int = 32) -> int:
+    """Largest multiple-of-8 frame tile whose (n+1)*bt*W*4-byte VMEM working
+    buffer fits the measured v5e envelope (~70 MB: bt=32 at n=2040/W=256 —
+    67 MB — compiles; bt=48 — 100 MB — and W=512/bt=24 do not), capped at
+    the measured-best headline tile (bt=32; larger never helped). Callers
+    that pick a tile size without shape knowledge (CLI, drivers) should use
+    this instead of hard-coding 32 — e.g. the (4000, 2000) registry code
+    needs bt=16 at W=256."""
+    budget_bytes = 70_000_000
+    bt = (budget_bytes // ((n + 1) * w * 4)) // 8 * 8
+    return int(min(cap, max(8, bt)))
 
 
 def untile_wide(vt: jax.Array, b: int, n: int) -> jax.Array:
@@ -655,11 +671,8 @@ def peel_decode_vmem(
     if tiled:
         vt = values
     else:
-        vpad = jnp.pad(values, ((0, bp - b), (0, 1), (0, 0)))
         # (ntiles, n1*bt, W), the tile's bt frames contiguous per symbol.
-        vt = vpad.reshape(ntiles, bt, n1, w).swapaxes(1, 2).reshape(
-            ntiles, n1 * bt, w
-        )
+        vt = tile_wide(values, bt)
     # Copy-in mask sidecar, same row order as vt.
     emask = epad.astype(jnp.int8).reshape(ntiles, bt, n1).swapaxes(
         1, 2
@@ -812,9 +825,7 @@ def peel_decode_vmem(
     if tiled:
         vals = vals_t  # stay in tile layout (word-packed for NB)
     else:
-        vals = vals_t.reshape(ntiles, n1, bt, w).swapaxes(1, 2).reshape(
-            bp, n1, w
-        )[:b, :n]
+        vals = untile_wide(vals_t, b, n)
         if packed_nb:
             vals = jax.lax.bitcast_convert_type(vals, jnp.uint8).reshape(
                 b, n, 4 * w

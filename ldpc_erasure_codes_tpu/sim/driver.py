@@ -120,6 +120,7 @@ def _decode(
             emax=d.emax,
             impl=d.impl,
             ge_subbatch=d.ge_subbatch,
+            b_tile=d.b_tile,
         )
         return v, e, iters, failed
     v, e, failed = ge_solve(

@@ -80,14 +80,17 @@ def cmd_sim(args) -> int:
 
 def make_throughput_step(
     code, arrays, *, batch: int, per: float, max_iters: int,
-    impl: str = "pallas", schedule: str = "seq",
+    impl: str = "pallas", schedule: str = "seq", b_tile: int = 0,
+    symbol_words: int = 256,
 ):
     """Jitted throughput step: on-device channel draw + wide value decode
     (impl 'pallas' = the production VMEM-resident kernel, masking fused
     into its copy-in; 'xla' = the symbol-major peel_decode_wide path).
     ``schedule`` selects the Pallas sweep schedule (seq = MATLAB
     Gauss-Seidel parity, jacobi = MXU-count detection; see
-    ops/pallas_peel.py).
+    ops/pallas_peel.py). ``b_tile`` <= 0 auto-sizes the VMEM frame tile to
+    the code length and ``symbol_words`` (larger registry codes need a
+    smaller tile than the headline bt=32 to fit VMEM).
 
     The returned step's outputs DEPEND on the codeword values (an XOR digest
     of the decoded symbols, as bench.py): mask evolution is value-
@@ -100,8 +103,13 @@ def make_throughput_step(
     import jax.numpy as jnp
 
     from ldpc_erasure_codes_tpu import channel as ch
-    from ldpc_erasure_codes_tpu.ops.pallas_peel import peel_decode_vmem
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import (
+        default_b_tile,
+        peel_decode_vmem,
+    )
     from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
+
+    bt = b_tile if b_tile > 0 else default_b_tile(code.n, symbol_words)
 
     @jax.jit
     def step(key, cw):
@@ -109,7 +117,7 @@ def make_throughput_step(
         if impl == "pallas":
             values, erased, _ = peel_decode_vmem(
                 arrays, cw, mask, max_iters=max_iters, early_stop_k=code.k,
-                b_tile=32, schedule=schedule,
+                b_tile=bt, schedule=schedule,
             )
         else:
             recv = ch.apply_erasures(cw, mask)
@@ -134,13 +142,24 @@ def cmd_throughput(args) -> int:
     code = get_code(args.code)
     arrays = device_arrays(code)
     b, w = args.batch, args.symbol_words
+    impl = args.impl
+    if impl == "pallas" and w % 128 != 0:
+        # The VMEM kernel requires lane-aligned symbol tiles; measure the
+        # XLA symbol-major path instead of hard-failing the invocation.
+        print(
+            f"note: symbol_words={w} not a multiple of 128; "
+            "falling back to impl=xla",
+            file=sys.stderr,
+        )
+        impl = "xla"
     key = jax.random.key(0)
     src = jax.random.bits(key, (b, code.k, w), dtype=jnp.uint32)
     cw = jax.block_until_ready(encode_packed(arrays, src))
 
     step = make_throughput_step(
         code, arrays, batch=b, per=args.per, max_iters=args.max_iters,
-        impl=args.impl, schedule=args.schedule,
+        impl=impl, schedule=args.schedule, b_tile=args.b_tile,
+        symbol_words=w,
     )
     jax.block_until_ready(step(jax.random.fold_in(key, 999), cw))
     t0 = time.perf_counter()
@@ -426,6 +445,11 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--max-iters", type=int, default=50)
     pt.add_argument("--impl", default="pallas", choices=["pallas", "xla"])
     pt.add_argument("--schedule", default="seq", choices=["seq", "jacobi"])
+    pt.add_argument(
+        "--b-tile", type=int, default=0,
+        help="Pallas frames/VMEM tile (0 = auto-size to the code and "
+        "symbol width; see ops/pallas_peel.default_b_tile)",
+    )
     pt.add_argument("--reps", type=int, default=20)
     pt.set_defaults(fn=cmd_throughput)
 

@@ -222,10 +222,13 @@ class NativeBlockAssembler:
         size = np.asarray([len(packet)], dtype=np.int32)
         want = HEADER_BYTES + self.symbol_bytes
         if len(packet) != want:
-            # Short packets can't be laid out at the expected stride; feed a
-            # zero-padded copy with the true size for bad-length accounting.
+            # Wrong-length packets can't be laid out at the expected stride;
+            # feed a zero-padded/clipped copy with the TRUE size so the native
+            # side counts it bad (oversized datagrams — stray traffic on the
+            # port — must not raise, or they'd kill the UdpReceiver thread).
             buf = np.zeros(want, dtype=np.uint8)
-            buf[: len(packet)] = np.frombuffer(packet, dtype=np.uint8)
+            m = min(len(packet), want)
+            buf[:m] = np.frombuffer(packet, dtype=np.uint8)[:m]
         self._lib.ldpc_asm_push(
             self._h,
             self._native._ptr(np.ascontiguousarray(buf), self._ctypes.c_uint8),

@@ -1,7 +1,9 @@
 """TPU micro-benchmark: VMEM-resident Pallas decoder vs the XLA wide path.
 
 Run on the real chip:  python scripts/bench_pallas_peel.py [--quick]
-Env overrides: BP_BATCH, BP_WORDS, BP_PER, BP_REPS, BP_TILE, BP_SKIP_IDLE.
+Env overrides: BP_CODE, BP_BATCH, BP_WORDS, BP_PER, BP_REPS, BP_TILE,
+BP_SKIP_IDLE, BP_COND_STORES (default 0 — measured-negative research knob,
+see ops/pallas_peel.py).
 
 Validates fixed-point equality against peel_decode_wide on the same draw
 first (values + mask), then times both with the decoded values consumed
@@ -36,7 +38,7 @@ def main() -> None:
     reps = int(os.environ.get("BP_REPS", "3" if quick else "10"))
     bt = int(os.environ.get("BP_TILE", "8"))
     skip_idle = os.environ.get("BP_SKIP_IDLE", "1") == "1"
-    cond_stores = os.environ.get("BP_COND_STORES", "1") == "1"
+    cond_stores = os.environ.get("BP_COND_STORES", "0") == "1"
     symbol_bits = 32 * w
 
     key = jax.random.key(0)

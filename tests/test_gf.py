@@ -160,3 +160,30 @@ def test_gf_mul_packed_exhaustive():
         # other lanes stay zero (no cross-lane contamination)
         other = [x for x in range(4) if x != lane]
         assert (got_bytes[:, :, other] == 0).all()
+
+
+def test_non_default_prim_poly_fields():
+    """The arithmetic multiply paths honor their ``prim_poly`` parameter:
+    for other degree-8 primitive polynomials they reproduce the table field
+    built for that polynomial exhaustively. (The registry/Pallas tier is
+    pinned to the reference field 0x171 — this parameterization exists for
+    field experimentation on the XLA paths; see gf/ops.py.)"""
+    import jax.numpy as jnp
+
+    from ldpc_erasure_codes_tpu import gf
+
+    a = np.arange(256, dtype=np.uint8)
+    aa, bb = np.meshgrid(a, a, indexing="ij")
+    for poly in (0x11D, 0x12B):  # other primitive degree-8 polys
+        t = gf.build_tables(poly)
+        want = t.mul[aa, bb]
+        got = np.asarray(gf.gf_mul_arith(jnp.asarray(aa), jnp.asarray(bb),
+                                         prim_poly=poly))
+        np.testing.assert_array_equal(got, want)
+        # packed SWAR path, one populated lane
+        words = (aa.astype(np.uint32) << 8)
+        got32 = np.asarray(gf.gf_mul_packed(jnp.asarray(words),
+                                            jnp.asarray(bb),
+                                            prim_poly=poly))
+        np.testing.assert_array_equal((got32 >> 8).astype(np.uint8), want)
+        assert (got32 & np.uint32(0xFFFF00FF)).max() == 0

@@ -142,7 +142,10 @@ def _random_stream(seed, n=12, k=7, sb=4, nblocks=5, loss=0.2, dup=0.1):
     rng.shuffle(packets)
     # a couple of malformed packets
     packets.insert(2, make_packet(0, 1, n + 5, b"\x00" * sb))  # bad symbol
-    packets.insert(5, b"\x01\x02\x03")  # bad length
+    packets.insert(5, b"\x01\x02\x03")  # bad length (short)
+    # bad length (OVERSIZED — e.g. stray traffic on the UDP port): must be
+    # counted bad, never raise (a raise would kill the UdpReceiver thread)
+    packets.insert(7, make_packet(0, 1, 0, b"\x00" * (sb + 9)))
     return n, k, sb, packets
 
 
