@@ -55,7 +55,9 @@ def main() -> None:
     # exceed VMEM (compile fails). Batch: B=2048 measured 219.9 Gbps vs
     # 185.2 at B=1024 (pre-transpose-batching); B=3072 OOMs HBM
     # (16.5G > 15.75G).
-    bt = int(os.environ.get("BENCH_TILE", "32"))
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import default_b_tile
+
+    bt = int(os.environ.get("BENCH_TILE", "0")) or default_b_tile(code.n, w)
     # Sweep schedule for the Pallas kernel: "seq" (MATLAB Gauss-Seidel
     # parity) or "jacobi" (MXU-count degree-1 detection; see
     # ops/pallas_peel.py docstring for the tradeoff).

@@ -80,3 +80,38 @@ def test_scaling_cli_smoke(capsys):
     assert [p["devices"] for p in lines] == [1, 2, 8]
     assert lines[0]["efficiency"] == 1.0
     assert lines[2]["frames"] == 8 * 8 * 2 * 1  # devices*batch*reps*steps
+
+
+def test_default_b_tile_envelope():
+    """Auto tile sizing tracks the measured v5e VMEM envelope: headline
+    (2040, W=256) gets the measured-best bt=32; the longer registry codes
+    and W=512 must drop to 16 (bt=32 at n=4000 is ~131 MB — over VMEM; see
+    default_b_tile docstring)."""
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import default_b_tile
+
+    assert default_b_tile(2040, 256) == 32
+    assert default_b_tile(2000, 256) == 32
+    assert default_b_tile(2040, 512) == 16  # bt=24 measured OOM at W=512
+    assert default_b_tile(4000, 256) == 16
+    assert default_b_tile(4080, 256) == 16
+    assert default_b_tile(10**5, 512) == 8  # floor: never returns < 8
+
+
+def test_throughput_cli_narrow_symbol_fallback(capsys):
+    """symbol_words not lane-aligned must fall back to impl=xla (with a
+    stderr note) instead of failing the Mosaic W%128 check on hardware."""
+    rc = cli.main(
+        [
+            "throughput",
+            "--code", "n2000_k1000",
+            "--batch", "4",
+            "--symbol-words", "64",
+            "--per", "0.2",
+            "--reps", "1",
+        ]
+    )
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "falling back to impl=xla" in cap.err
+    out = json.loads(cap.out.strip().splitlines()[-1])
+    assert out["info_gbps"] > 0
