@@ -1,0 +1,127 @@
+"""On-chip sweep-schedule battery for the VMEM-resident peeling decoder.
+
+Measures ``schedule="seq"`` (MATLAB Gauss-Seidel parity) vs
+``schedule="jacobi"`` (MXU-count detection; ops/pallas_peel.py) at the
+headline operating point — (2040, 1530), PER .1406, S=8192 — plus a b_tile
+sweep, the GF(256) mode, and the wider-symbol points (S=16384/32768).
+Throughput accounting matches bench.py (information bits, decoded values
+consumed via XOR digest). Run on the real chip:
+
+    python scripts/bench_schedules.py
+
+Each leg is independent (a VMEM-OOM compile failure is reported and the
+battery continues). Results land as flush=True lines; expect 1-4 min of
+remote compile per new shape.
+"""
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from ldpc_erasure_codes_tpu import channel as ch
+from ldpc_erasure_codes_tpu.codes import get_code
+from ldpc_erasure_codes_tpu.ops import device_arrays
+from ldpc_erasure_codes_tpu.ops.pallas_encode import encode_packed_vmem
+from ldpc_erasure_codes_tpu.ops.pallas_peel import peel_decode_vmem
+
+B, W, PER = 2048, 256, 0.1406
+code = get_code("n2040_k1530")
+arrays = device_arrays(code)
+key = jax.random.key(0)
+
+
+def run(schedule, bt, reps=10, per=PER, max_iters=50, W=W, B=B):
+    src = jax.random.bits(key, (B, code.k, W), dtype=jnp.uint32)
+    cw = jax.block_until_ready(
+        encode_packed_vmem(arrays, src, b_tile=bt, tiled_out=True)
+    )
+    del src
+
+    @jax.jit
+    def step(k, cw):
+        mask = ch.iid_erasures(k, (B, code.n), per)
+        values, erased, iters = peel_decode_vmem(
+            arrays, cw, mask, max_iters=max_iters, early_stop_k=code.k,
+            b_tile=bt, tiled=True, schedule=schedule,
+        )
+        digest = jnp.bitwise_xor.reduce(
+            jnp.bitwise_xor.reduce(values, axis=1), axis=0
+        )
+        return jnp.sum(erased[:, : code.k], dtype=jnp.int32), jnp.max(iters), digest
+
+    k0 = jax.random.fold_in(key, 7)
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(step(k0, cw))
+    tc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = step(jax.random.fold_in(key, i), cw)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    gbps = B * code.k * 32 * W / dt / 1e9
+    print(
+        f"{schedule:6s} bt={bt:2d} per={per}: {dt*1e3:7.2f} ms  "
+        f"{gbps:7.1f} Gbps  resid={int(out[0])} maxit={int(out[1])} "
+        f"(compile {tc:.0f}s)",
+        flush=True,
+    )
+    return dt
+
+
+def run_nb(schedule, bt, reps=10, B=256, Wb=1024):
+    nb = get_code("n2040_k1530").lift_to_gf256(seed=0)
+    nba = device_arrays(nb)
+    src = jax.random.bits(key, (B, nb.k, Wb), dtype=jnp.uint8)
+    cw = jax.block_until_ready(
+        encode_packed_vmem(nba, src, gf_order=256, b_tile=8)
+    )
+
+    @jax.jit
+    def step(k2, cw):
+        mask = ch.iid_erasures(k2, (B, nb.n), PER)
+        v, e, it = peel_decode_vmem(
+            nba, cw, mask, max_iters=50, early_stop_k=nb.k, b_tile=bt,
+            gf_order=256, schedule=schedule,
+        )
+        dig = jnp.bitwise_xor.reduce(jnp.bitwise_xor.reduce(v, axis=1), axis=0)
+        return jnp.sum(e[:, : nb.k], dtype=jnp.int32), jnp.max(it), dig
+
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(step(jax.random.fold_in(key, 999), cw))
+    tc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = step(jax.random.fold_in(key, i), cw)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    gbps = B * nb.k * Wb * 8 / dt / 1e9
+    print(
+        f"NB {schedule:6s} bt={bt:2d}: {dt*1e3:7.2f} ms  {gbps:7.1f} Gbps  "
+        f"resid={int(out[0])} (compile {tc:.0f}s)",
+        flush=True,
+    )
+
+
+print("devices:", jax.devices(), flush=True)
+def leg(fn, *a, **kw):
+    try:
+        fn(*a, **kw)
+    except Exception as e:
+        print(f"LEG FAILED {a} {kw}: {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
+
+
+leg(run, "seq", 32)     # current production point: expect ~78 ms / 328 Gbps
+leg(run, "jacobi", 32)
+leg(run, "jacobi", 16)
+leg(run_nb, "jacobi", 32)  # seq NB baseline: 79.3 Gbps
+leg(run, "jacobi", 16, W=512, B=1024)  # S=16384; seq baseline: 204.5 Gbps
+leg(run, "seq", 40)     # bt=48 known OOM; probe the VMEM edge
+leg(run, "jacobi", 40)
+# S=32768: bt=8/W=1024 has the same (8192-element) VMEM tile as the
+# headline bt=32/W=256 — scalar work amortizes over elements, not frames.
+leg(run, "seq", 8, W=1024, B=512)
+leg(run, "jacobi", 8, W=1024, B=512)
