@@ -57,7 +57,23 @@ def main() -> None:
     # (16.5G > 15.75G).
     from ldpc_erasure_codes_tpu.ops.pallas_peel import default_b_tile
 
-    bt = int(os.environ.get("BENCH_TILE", "0")) or default_b_tile(code.n, w)
+    if impl == "pallas" and w % 128 != 0:
+        # The VMEM kernel requires lane-aligned symbol tiles; fall back to
+        # the XLA symbol-major path (the CLI throughput command does the
+        # same) instead of failing the invocation.
+        print(
+            f"note: BENCH_WORDS={w} not a multiple of 128; "
+            "falling back to BENCH_IMPL=xla",
+            file=sys.stderr,
+        )
+        impl = "xla"
+    bt = int(os.environ.get("BENCH_TILE", "0"))
+    if impl == "pallas" and bt <= 0:
+        try:
+            bt = default_b_tile(code.n, w)
+        except ValueError as exc:
+            print(f"note: {exc}; falling back to BENCH_IMPL=xla", file=sys.stderr)
+            impl = "xla"
     # Sweep schedule for the Pallas kernel: "seq" (MATLAB Gauss-Seidel
     # parity) or "jacobi" (MXU-count degree-1 detection; see
     # ops/pallas_peel.py docstring for the tradeoff).

@@ -91,12 +91,21 @@ def encode_packed(
         if w <= limit:
             cw = encode_nb(arrays, lanes_first)  # (B, W, n)
         else:
-            chunk = max(d for d in range(1, limit + 1) if w % d == 0)
-            xs = lanes_first.reshape(b, w // chunk, chunk, k).swapaxes(0, 1)
+            # Ceil-division chunking with a zero-padded tail: a W with no
+            # divisor near the limit (e.g. prime W) must not collapse to
+            # chunk=1 and run W sequential single-lane matmuls.
+            chunk = limit
+            nc = -(-w // chunk)
+            wp = nc * chunk
+            if wp != w:
+                lanes_first = jnp.pad(
+                    lanes_first, ((0, 0), (0, wp - w), (0, 0))
+                )
+            xs = lanes_first.reshape(b, nc, chunk, k).swapaxes(0, 1)
             cw = jax.lax.map(
                 lambda x: encode_nb(arrays, x), xs
             )  # (nc, B, chunk, n)
-            cw = cw.swapaxes(0, 1).reshape(b, w, -1)
+            cw = cw.swapaxes(0, 1).reshape(b, wp, -1)[:, :w]
         return jnp.moveaxis(cw, 1, 2)
 
     src_p = jnp.pad(source, ((0, 0), (0, 1), (0, 0)))  # pad col k reads zero

@@ -85,6 +85,9 @@ def ge_rank_check(
     Returns ``failed`` (B,) bool (rank-deficient or bucket overflow).
     """
     b, n = erased.shape
+    # A bucket wider than the code covers every pattern; clamping (trace-time,
+    # emax is static) keeps short codes working with the default emax=128.
+    emax = min(emax, n)
     m = arrays.h.shape[0]
     er_idx, real, nreal = erased_indices(erased, emax)
     overflow = nreal > emax
@@ -157,6 +160,9 @@ def ge_solve(
       left set.
     """
     b, n = erased.shape
+    # Clamp as in ge_rank_check: emax > n adds only pad columns, and the
+    # unclamped shapes break (er_idx caps at n while the bucket iotas don't).
+    emax = min(emax, n)
     m = arrays.h.shape[0]
     wide = values.ndim == 3
     er_idx, real, nreal = erased_indices(erased, emax)

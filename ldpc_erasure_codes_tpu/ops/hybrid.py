@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
 from ldpc_erasure_codes_tpu.ops.compact import compact_ge_solve
 from ldpc_erasure_codes_tpu.ops.ge import ge_solve
-from ldpc_erasure_codes_tpu.ops.pallas_peel import peel_decode_vmem
+from ldpc_erasure_codes_tpu.ops.pallas_peel import default_b_tile, peel_decode_vmem
 from ldpc_erasure_codes_tpu.ops.peel import peel_decode
 from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
 
@@ -39,7 +39,7 @@ def hybrid_decode(
     emax: int = 128,
     impl: str = "gather",
     ge_subbatch: int = 0,
-    b_tile: int = 8,
+    b_tile: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Peel up to ``peel_iters`` sweeps, then GE-solve the residual.
 
@@ -49,16 +49,22 @@ def hybrid_decode(
     ``ge_subbatch`` > 0 additionally compacts the frames that still hold
     erasures into a bucket of that size before the elimination (overflow →
     failed) — the production setting at low FER, where stopping sets are
-    rare.
+    rare. ``b_tile`` <= 0 auto-sizes the VMEM frame tile to the code/symbol
+    shape (``pallas_peel.default_b_tile``); ``impl="vmem"`` applies to wide
+    (B, n, W) values only — scalar symbols have no VMEM kernel and use the
+    gather path.
 
     Returns (values, erased, iters, failed).
     """
     if values.ndim == 3 and impl == "vmem":
         # Production wide path: the VMEM-resident Pallas decoder (binary or
         # GF(256); frames stay on chip across the whole peel loop).
+        bt = b_tile if b_tile > 0 else default_b_tile(
+            values.shape[1], values.shape[2]
+        )
         values, erased, iters = peel_decode_vmem(
             arrays, values, erased, max_iters=peel_iters, gf_order=gf_order,
-            b_tile=b_tile,
+            b_tile=bt,
         )
     elif values.ndim == 3 and impl == "gather":
         # Wide frames use the symbol-major XLA decoder (same fixed point and
@@ -68,8 +74,12 @@ def hybrid_decode(
             arrays, values, erased, max_iters=peel_iters, gf_order=gf_order
         )
     else:
+        # Scalar/2D symbols have no VMEM kernel: map impl="vmem" to the
+        # gather path explicitly (peel_decode rejects unknown impl strings).
+        scalar_impl = "gather" if impl == "vmem" else impl
         values, erased, iters = peel_decode(
-            arrays, values, erased, gf_order=gf_order, max_iters=peel_iters, impl=impl
+            arrays, values, erased, gf_order=gf_order, max_iters=peel_iters,
+            impl=scalar_impl,
         )
     any_residual = jnp.any(erased)
 

@@ -106,7 +106,17 @@ def default_b_tile(n: int, w: int, *, cap: int = 32) -> int:
     needs bt=16 at W=256."""
     budget_bytes = 70_000_000
     bt = (budget_bytes // ((n + 1) * w * 4)) // 8 * 8
-    return int(min(cap, max(8, bt)))
+    if bt < 8:
+        # Even the minimum tile exceeds VMEM: raise here with the actual
+        # numbers rather than handing back a tile that fails minutes later
+        # in the (remote) Mosaic compile with an opaque VMEM error. Callers
+        # with a fallback path (CLI throughput) catch this and use impl=xla.
+        raise ValueError(
+            f"VMEM decoder does not fit: n={n}, W={w} needs "
+            f"{(n + 1) * 8 * w * 4 / 1e6:.0f} MB at the minimum bt=8 tile "
+            f"(budget ~{budget_bytes / 1e6:.0f} MB); use the XLA wide path"
+        )
+    return int(min(cap, bt))
 
 
 def untile_wide(vt: jax.Array, b: int, n: int) -> jax.Array:

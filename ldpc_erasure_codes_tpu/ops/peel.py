@@ -176,6 +176,13 @@ def peel_decode(
       (values, erased, iters) — iters (B,) is the iteration at which each
       codeword finished (max_iters when it never did).
     """
+    if impl not in ("gather", "matmul", "worklist"):
+        # "vmem" is a peel_decode_vmem/hybrid_decode-level impl, not one of
+        # this function's steps; rejecting it (and typos) here prevents a
+        # silent fall-through to the gather path.
+        raise ValueError(
+            f"unknown impl {impl!r}: expected gather | matmul | worklist"
+        )
     if impl == "matmul" and (gf_order != 2 or values.ndim == 3):
         raise ValueError("matmul impl supports binary scalar symbols only")
 

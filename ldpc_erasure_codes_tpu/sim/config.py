@@ -51,7 +51,9 @@ class DecoderConfig:
     peel_iters: int = 10  # hybrid peel budget (My_LDPC_HybridML_Erasure_Decoder.m:9)
     emax: int = 128  # residual-GE column bucket
     impl: str = "gather"  # "gather" | "matmul" | "vmem" peeling step
-    b_tile: int = 32  # frames per VMEM tile for impl="vmem" (multiple of 8)
+    # Frames per VMEM tile for impl="vmem" (multiple of 8); <= 0 auto-sizes
+    # to the code/symbol shape (ops/pallas_peel.default_b_tile).
+    b_tile: int = 0
     early_stop_k: bool = False  # FPGA first-k-known early exit
     ge_subbatch: int = 0  # >0: compact residual frames into this bucket for GE
     # Block-error scope: False (default) counts residual erasures among the

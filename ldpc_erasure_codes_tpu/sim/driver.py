@@ -88,8 +88,14 @@ def _decode(
     if d.kind == "peel":
         if d.impl == "vmem" and values.ndim == 3:
             # Production wide value path: the VMEM-resident Pallas decoder.
-            from ldpc_erasure_codes_tpu.ops.pallas_peel import peel_decode_vmem
+            from ldpc_erasure_codes_tpu.ops.pallas_peel import (
+                default_b_tile,
+                peel_decode_vmem,
+            )
 
+            bt = d.b_tile if d.b_tile > 0 else default_b_tile(
+                values.shape[1], values.shape[2]
+            )
             v, e, iters = peel_decode_vmem(
                 arrays,
                 values,
@@ -97,9 +103,11 @@ def _decode(
                 gf_order=cfg.gf_order,
                 max_iters=d.max_iters,
                 early_stop_k=early,
-                b_tile=d.b_tile,
+                b_tile=bt,
             )
             return v, e, iters, None
+        # Scalar/2D symbols have no VMEM kernel: impl="vmem" maps to the
+        # gather path explicitly here (peel_decode rejects unknown impls).
         v, e, iters = peel_decode(
             arrays,
             values,
@@ -107,7 +115,7 @@ def _decode(
             gf_order=cfg.gf_order,
             max_iters=d.max_iters,
             early_stop_k=early,
-            impl=d.impl,
+            impl="gather" if d.impl == "vmem" else d.impl,
         )
         return v, e, iters, None
     if d.kind == "hybrid":

@@ -109,7 +109,18 @@ def make_throughput_step(
     )
     from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
 
-    bt = b_tile if b_tile > 0 else default_b_tile(code.n, symbol_words)
+    bt = 0
+    if impl == "pallas":
+        if b_tile > 0:
+            bt = b_tile
+        else:
+            try:
+                bt = default_b_tile(code.n, symbol_words)
+            except ValueError as exc:
+                # Even the minimum VMEM tile doesn't fit this code/width:
+                # measure the XLA symbol-major path instead of failing.
+                print(f"note: {exc}; falling back to impl=xla", file=sys.stderr)
+                impl = "xla"
 
     @jax.jit
     def step(key, cw):

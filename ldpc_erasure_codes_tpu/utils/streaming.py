@@ -125,6 +125,13 @@ class BlockAssembler:
                 old_num, old_blk = self._blocks.popitem(last=False)
                 self._finish(old_num, old_blk)
                 self.stats["evictions"] += 1
+            if block_num not in self._blocks:
+                # The just-inserted block was itself the eviction victim
+                # (max_blocks < 1): it is already finished, so this packet
+                # counts as late — matching the native assembler, which
+                # re-finds the block after eviction (ldpc_io.cpp).
+                self.stats["late"] += 1
+                return
         if blk.received[sym]:
             self.stats["duplicates"] += 1
             return

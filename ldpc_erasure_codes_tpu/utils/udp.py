@@ -201,29 +201,52 @@ def _vita_leg(
     rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 22)
     rx.bind(("127.0.0.1", 0))
-    rx.settimeout(2.0)
+    rx.settimeout(0.05)
     tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     addr = rx.getsockname()
-    nsent = 0
-    for b in range(blocks):
-        for s in range(k):
-            for _cls, pkt in emitter.emit(src_bytes[b, s].tobytes()):
-                tx.sendto(pkt, addr)
-                nsent += 1
+
+    # Drain concurrently with the send: the whole stream must never be
+    # required to fit the socket receive queue (SO_RCVBUF requests are
+    # silently capped by net.core.rmem_max — ~208 KB on stock Linux — so a
+    # send-all-then-read loop drops packets on a lossless loopback).
     payloads: list[bytes] = []
-    try:
-        while ingest.stats["packets"] < nsent:
-            data, _ = rx.recvfrom(65536)
+    stop = threading.Event()
+
+    def _drain() -> None:
+        while True:
+            try:
+                data, _ = rx.recvfrom(65536)
+            except socket.timeout:
+                if stop.is_set():
+                    return
+                continue
+            except OSError:
+                return
             p = ingest.push(data)
             if p is not None:
                 payloads.append(p)
-    except socket.timeout as exc:  # pragma: no cover - loopback shouldn't drop
-        raise RuntimeError(
-            f"VITA leg: {ingest.stats['packets']}/{nsent} datagrams arrived"
-        ) from exc
+
+    drainer = threading.Thread(target=_drain, daemon=True)
+    drainer.start()
+    nsent = 0
+    try:
+        for b in range(blocks):
+            for s in range(k):
+                for _cls, pkt in emitter.emit(src_bytes[b, s].tobytes()):
+                    tx.sendto(pkt, addr)
+                    nsent += 1
+        deadline = time.monotonic() + 10.0
+        while ingest.stats["packets"] < nsent and time.monotonic() < deadline:
+            time.sleep(0.002)
     finally:
+        stop.set()
+        drainer.join(timeout=2.0)
         tx.close()
         rx.close()
+    if ingest.stats["packets"] < nsent:  # pragma: no cover - loopback
+        raise RuntimeError(
+            f"VITA leg: {ingest.stats['packets']}/{nsent} datagrams arrived"
+        )
     out = np.frombuffer(b"".join(payloads), dtype=np.uint8).reshape(
         blocks, k, sb
     )

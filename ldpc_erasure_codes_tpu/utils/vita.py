@@ -122,12 +122,15 @@ class VitaEmitter:
     """Frame payload symbols as a VRT data stream.
 
     Mirrors the reference encoder's upstream: one VRT data packet per FEC
-    symbol payload, a mod-16 packet counter, and a context packet every
-    ``data_per_context`` data packets (0 disables, the kernel's
-    ``disableContextPackets``). ``test_mode`` selects the test-class codes
-    (:145-160); the class code rides with the emitted packet for transport
-    layers that carry it (the VRT class-id word itself is not emitted —
-    has_class_id=False — matching the kernel, which never parses one).
+    symbol payload, a context packet every ``data_per_context`` data packets
+    (0 disables, the kernel's ``disableContextPackets``), and mod-16 packet
+    counters kept INDEPENDENTLY for the data and context packet streams —
+    VITA-49.0 specifies one continuity counter per packet stream (stream id
+    + packet type), not one per link. ``test_mode`` selects the test-class
+    codes (:145-160); the class code rides with the emitted packet for
+    transport layers that carry it (the VRT class-id word itself is not
+    emitted — has_class_id=False — matching the kernel, which never parses
+    one).
     """
 
     def __init__(
@@ -140,12 +143,17 @@ class VitaEmitter:
         self.stream_id = stream_id
         self.data_per_context = data_per_context
         self.test_mode = test_mode
-        self._count = 0
+        self._data_count = 0
+        self._ctx_count = 0
         self._since_context = 0
 
-    def _next_count(self) -> int:
-        c = self._count
-        self._count = (self._count + 1) & 0xF
+    def _next_count(self, ctx: bool = False) -> int:
+        if ctx:
+            c = self._ctx_count
+            self._ctx_count = (c + 1) & 0xF
+        else:
+            c = self._data_count
+            self._data_count = (c + 1) & 0xF
         return c
 
     def emit(self, payload: bytes) -> list[tuple[int, bytes]]:
@@ -159,7 +167,7 @@ class VitaEmitter:
                 self._since_context = 0
                 ctx = VitaHeader(
                     packet_type=PKT_IF_CONTEXT,
-                    packet_count=self._next_count(),
+                    packet_count=self._next_count(ctx=True),
                     packet_size=2,
                     stream_id=self.stream_id,
                 )
@@ -186,12 +194,15 @@ class VitaIngest:
     parse word-0, check the declared packet_size against the datagram,
     detect mod-16 packet-count discontinuities (lost upstream VRT packets —
     the erasures the FEC exists for), drop context packets, and hand back
-    the stripped payload.
+    the stripped payload. Continuity is tracked PER PACKET STREAM (stream
+    id + packet type), as VITA-49.0 specifies — a conformant source that
+    interleaves context packets (their own mod-16 counter) with data
+    packets must not trigger false loss reports.
     """
 
     def __init__(self, expected_stream_id: int | None = None):
         self.expected_stream_id = expected_stream_id
-        self._last_count: int | None = None
+        self._last_count: dict[tuple[int, int | None], int] = {}
         self.stats = {
             "packets": 0,
             "data": 0,
@@ -220,12 +231,14 @@ class VitaIngest:
         ):
             self.stats["wrong_stream"] += 1
             return None
-        if self._last_count is not None:
-            gap = (hdr.packet_count - self._last_count - 1) & 0xF
+        stream = (hdr.packet_type, hdr.stream_id)
+        last = self._last_count.get(stream)
+        if last is not None:
+            gap = (hdr.packet_count - last - 1) & 0xF
             if gap:
                 self.stats["count_gaps"] += 1
                 self.stats["lost_upstream"] += gap
-        self._last_count = hdr.packet_count
+        self._last_count[stream] = hdr.packet_count
         if hdr.packet_type in (PKT_IF_CONTEXT, PKT_EXT_CONTEXT):
             self.stats["context"] += 1
             return None

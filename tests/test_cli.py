@@ -12,6 +12,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ldpc_erasure_codes_tpu.codes import get_code
 from ldpc_erasure_codes_tpu.ops import device_arrays, encode_packed
@@ -94,7 +95,8 @@ def test_default_b_tile_envelope():
     assert default_b_tile(2040, 512) == 16  # bt=24 measured OOM at W=512
     assert default_b_tile(4000, 256) == 16
     assert default_b_tile(4080, 256) == 16
-    assert default_b_tile(10**5, 512) == 8  # floor: never returns < 8
+    with pytest.raises(ValueError):  # below the bt=8 floor: doesn't fit
+        default_b_tile(10**5, 512)
 
 
 def test_throughput_cli_narrow_symbol_fallback(capsys):

@@ -70,6 +70,24 @@ class TestEncoders:
         flat = np.asarray(ops.encode(a2000, jnp.asarray(src.reshape(-1, c2000.k))))
         assert np.array_equal(got.reshape(-1, c2000.n), flat)
 
+    def test_nb_packed_encode_chunked_prime_w(self):
+        """encode_packed(gf_order=256) lane-chunking: a W above the fold
+        limit with NO divisor near it (prime W) must ceil-chunk with a
+        zero-padded tail — not collapse to chunk=1 — and equal the
+        unchunked bit-image encode exactly."""
+        from ldpc_erasure_codes_tpu.codes import toy_code
+
+        code = toy_code(n=60, k=36, seed=2, gf_order=256)
+        arrays = ops.device_arrays(code)
+        rng = np.random.default_rng(7)
+        b, w = 1024, 37  # limit = 32768 // 1024 = 32 < W; 37 is prime
+        src = jnp.asarray(rng.integers(0, 256, (b, code.k, w), dtype=np.uint8))
+        got = np.asarray(ops.encode_packed(arrays, src, gf_order=256))
+        want = np.asarray(
+            jnp.moveaxis(ops.encode_nb(arrays, jnp.moveaxis(src, 2, 1)), 1, 2)
+        )
+        assert np.array_equal(got, want)
+
 
 class TestPeelDecode:
     @pytest.mark.parametrize("impl", ["gather", "matmul"])

@@ -61,6 +61,31 @@ class TestGESolve:
         assert not np.asarray(failed).any()
         assert np.array_equal(np.asarray(v), cws)
 
+    def test_emax_larger_than_n_clamps(self):
+        """A bucket wider than the code must clamp to n (the defaults —
+        emax=128 — previously crashed shape-broadcasting on short codes)."""
+        import jax
+
+        code = codes_mod.toy_code(n=60, k=36, seed=2)
+        arrays = ops.device_arrays(code)
+        rng = np.random.default_rng(29)
+        src = (rng.integers(0, 2, (4, code.k))).astype(np.uint8)
+        cws = np.asarray(ops.encode(arrays, jnp.asarray(src)))
+        mask = rng.random((4, code.n)) <= 0.15
+        vals = (cws * ~mask).astype(np.uint8)
+        v, e, failed = ge_solve(
+            arrays, jnp.asarray(vals), jnp.asarray(mask), emax=128
+        )
+        ok = ~np.asarray(failed)
+        assert ok.any()
+        assert np.array_equal(np.asarray(v)[ok], cws[ok])
+        # hybrid default emax rides the same clamp
+        v2, e2, _, f2 = hybrid_decode(
+            arrays, jnp.asarray(vals), jnp.asarray(mask)
+        )
+        ok2 = ~np.asarray(f2)
+        assert np.array_equal(np.asarray(v2)[ok2], cws[ok2])
+
     def test_bucket_overflow_flagged(self, c2000, a2000):
         rng = np.random.default_rng(22)
         cws, vals, mask = _mk_batch(rng, c2000, 2, 0.10)

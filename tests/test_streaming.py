@@ -85,6 +85,22 @@ def test_late_straggler_does_not_duplicate_block():
     assert nums.tolist() == [5]  # exactly one output for block 5
 
 
+def test_self_eviction_counts_late():
+    """max_blocks=0 makes every inserted block its own eviction victim: the
+    packet must count as late (matching the native assembler), not be
+    written into the already-finished orphan block."""
+    asm = BlockAssembler(4, 2, 1, max_blocks=0, decode_at_k=False)
+    asm.push(make_packet(0, 7, 1, b"\xaa"))
+    assert asm.stats["evictions"] == 1
+    assert asm.stats["late"] == 1
+    assert asm.stats["blocks_out"] == 1  # the empty finished block
+    nums, vals, erased = asm.drain()
+    assert nums.tolist() == [7]
+    assert erased.all()  # payload was NOT written into the orphan
+    asm.flush()
+    assert asm.stats["blocks_out"] == 1  # and nothing is emitted twice
+
+
 def test_stream_to_device_decode():
     """Lossy out-of-order packet stream -> assembler -> hybrid decode ->
     exact recovery of every decodable block."""

@@ -80,8 +80,12 @@ def test_emitter_context_cadence_and_counts():
     # first context fires after 3 data packets, then every 3
     assert classes.count(CLASS_CONTEXT) == 3
     assert [c for c in classes if c == CLASS_DATA] == [CLASS_DATA] * 10
-    # mod-16 counter is continuous across data AND context packets
-    assert counts == [i & 0xF for i in range(len(counts))]
+    # VITA-49.0: one mod-16 counter PER packet stream (type + stream id) —
+    # data and context packets each count contiguously on their own.
+    data_counts = [c for cls, c in zip(classes, counts) if cls == CLASS_DATA]
+    ctx_counts = [c for cls, c in zip(classes, counts) if cls == CLASS_CONTEXT]
+    assert data_counts == [i & 0xF for i in range(10)]
+    assert ctx_counts == [0, 1, 2]
 
 
 def test_emitter_rejects_ragged_payload():
