@@ -177,11 +177,17 @@ def test_native_assembler_matches_python():
 
         pytest.skip("no native toolchain")
     for seed in range(5):
-        for decode_at_k in (True, False):
+        for decode_at_k, max_blocks in (
+            (True, 3), (False, 3),
+            # Tiny windows exercise eviction — including a block being its
+            # own eviction victim (max_blocks < 1), which must count late
+            # identically in both implementations.
+            (False, 1), (False, 0),
+        ):
             n, k, sb, packets = _random_stream(seed)
-            py = BlockAssembler(n, k, sb, max_blocks=3,
+            py = BlockAssembler(n, k, sb, max_blocks=max_blocks,
                                 decode_at_k=decode_at_k)
-            na = NativeBlockAssembler(n, k, sb, max_blocks=3,
+            na = NativeBlockAssembler(n, k, sb, max_blocks=max_blocks,
                                       decode_at_k=decode_at_k)
             for p in packets:
                 py.push(p)
