@@ -32,7 +32,8 @@ from ldpc_erasure_codes_tpu.ops.pallas_peel import _gf_mul_scalar
 
 
 def _make_kernel(
-    *, n: int, k: int, m: int, dmax: int, pmax: int, bt: int, gf_order: int
+    *, n: int, k: int, m: int, dmax: int, pmax: int, bt: int, gf_order: int,
+    wc: int, w_chunks: int,
 ):
     # Row layout of the single prefetched topology table. One SMEM operand
     # (not five): a prefetch operand's SMEM cost is rows * pad128(cols) * 4
@@ -61,8 +62,19 @@ def _make_kernel(
         # (A SLICED window ref drops the leading singleton block dim on
         # hardware — unlike the whole-window DMA target in pallas_peel — so
         # the squeezed source slice matches on both backends.)
+        # With W-chunking (w_chunks > 1) the grid's minor axis walks wc-word
+        # chunks of the symbol: lanes are independent, so each chunk is a
+        # complete encode of its words (the row loop's scalar work repeats
+        # per chunk — the same per-frame accounting as encoding the chunks
+        # as separate frames).
+        if w_chunks > 1:
+            src = src_hbm.at[
+                pl.program_id(0), :, pl.ds(pl.program_id(1) * wc, wc)
+            ]
+        else:
+            src = src_hbm.at[pl.program_id(0)]
         cp = pltpu.make_async_copy(
-            src_hbm.at[pl.program_id(0)],
+            src,
             out_ref.at[pl.ds(0, k * bt), :],
             copy_sem,
         )
@@ -98,7 +110,10 @@ def _make_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("gf_order", "b_tile", "tiled_out", "interpret")
+    jax.jit,
+    static_argnames=(
+        "gf_order", "b_tile", "tiled_out", "interpret", "w_chunk",
+    ),
 )
 def encode_packed_vmem(
     arrays: CodeArrays,
@@ -108,6 +123,7 @@ def encode_packed_vmem(
     b_tile: int = 8,
     tiled_out: bool = False,
     interpret: bool = False,
+    w_chunk: int = 0,
 ) -> jax.Array:
     """VMEM-resident packed systematic encode: (B, k, W) -> (B, n, W).
 
@@ -121,6 +137,12 @@ def encode_packed_vmem(
     frames/rows zero) — exactly what ``peel_decode_vmem(..., tiled=True,
     b_tile=b_tile)`` consumes, skipping one full-batch HBM transpose on
     each side (:func:`ops.pallas_peel.tile_wide` documents the layout).
+
+    ``w_chunk`` mirrors the decoder's W-chunking (lanes are independent):
+    symbols wider than wc words encode in chunks on a (ntiles, W/wc) grid,
+    so the VMEM tile — and therefore ``b_tile`` — is decoupled from the
+    symbol width; identical output. 0 (default) auto-chunks to 256 words
+    when W > 256 and divisible; -1 disables; explicit values must divide W.
     """
     b, k, w = source.shape
     m, dmax = arrays.enc_src_idx.shape
@@ -149,15 +171,31 @@ def encode_packed_vmem(
         w = w // 4
     source = source.astype(jnp.uint32)
 
+    # W-chunking (uint32 words, post-packing) — the decoder's auto rule.
+    if w_chunk == 0:
+        wc = 256 if (w > 256 and w % 256 == 0) else w
+    elif w_chunk < 0 or w_chunk >= w:
+        wc = w
+    else:
+        wc = int(w_chunk)
+        if w % wc != 0:
+            raise ValueError(f"w_chunk={wc} must divide W={w} (uint32 words)")
+        if not interpret and wc % 128 != 0:
+            raise ValueError(
+                f"w_chunk={wc} must be a multiple of 128 words on hardware"
+            )
+    w_chunks = w // wc
+
     spad = jnp.pad(source, ((0, bp - b), (0, 0), (0, 0)))
     st = spad.reshape(ntiles, bt, k, w).swapaxes(1, 2).reshape(
         ntiles, k * bt, w
     )
 
     kernel = _make_kernel(
-        n=n, k=k, m=m, dmax=dmax, pmax=pmax, bt=bt, gf_order=gf_order
+        n=n, k=k, m=m, dmax=dmax, pmax=pmax, bt=bt, gf_order=gf_order,
+        wc=wc, w_chunks=w_chunks,
     )
-    out_bytes = (n + 1) * bt * w * 4
+    out_bytes = (n + 1) * bt * wc * 4
     nbuf = 2 if 2 * out_bytes <= 96 * 1024 * 1024 else 1
     big_mode = None if nbuf == 2 else pl.Buffered(buffer_count=1)
     # Source-idx pad remapped k -> n: source neighbors are read out of the
@@ -175,13 +213,19 @@ def encode_packed_vmem(
         ],
         axis=1,
     ).T
+    if w_chunks > 1:
+        grid = (ntiles, w_chunks)
+        out_map = lambda i, j, tab: (i, 0, j)
+    else:
+        grid = (ntiles,)
+        out_map = lambda i, tab: (i, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntiles,),
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (None, (n + 1) * bt, w),
-            lambda i, tab: (i, 0, 0),
+            (None, (n + 1) * bt, wc),
+            out_map,
             memory_space=pltpu.VMEM, pipeline_mode=big_mode,
         ),
         scratch_shapes=[pltpu.SemaphoreType.DMA],

@@ -97,15 +97,18 @@ def tile_wide(values: jax.Array, b_tile: int) -> jax.Array:
 
 
 def default_b_tile(n: int, w: int, *, cap: int = 32) -> int:
-    """Largest multiple-of-8 frame tile whose (n+1)*bt*W*4-byte VMEM working
+    """Largest multiple-of-8 frame tile whose (n+1)*bt*wc*4-byte VMEM working
     buffer fits the measured v5e envelope (~70 MB: bt=32 at n=2040/W=256 —
-    67 MB — compiles; bt=48 — 100 MB — and W=512/bt=24 do not), capped at
-    the measured-best headline tile (bt=32; larger never helped). Callers
-    that pick a tile size without shape knowledge (CLI, drivers) should use
-    this instead of hard-coding 32 — e.g. the (4000, 2000) registry code
-    needs bt=16 at W=256."""
+    67 MB — compiles; bt=48 — 100 MB — does not), capped at the
+    measured-best headline tile (bt=32; larger never helped). Sizing uses
+    the kernel's auto W-chunk (wc = 256 when W > 256 and divisible — see
+    ``peel_decode_vmem(w_chunk=...)``), so wide symbols no longer force a
+    smaller frame tile. Callers that pick a tile size without shape
+    knowledge (CLI, drivers) should use this instead of hard-coding 32 —
+    e.g. the (4000, 2000) registry code needs bt=16 at W=256."""
+    wc = 256 if (w > 256 and w % 256 == 0) else w
     budget_bytes = 70_000_000
-    bt = (budget_bytes // ((n + 1) * w * 4)) // 8 * 8
+    bt = (budget_bytes // ((n + 1) * wc * 4)) // 8 * 8
     if bt < 8:
         # Even the minimum tile exceeds VMEM: raise here with the actual
         # numbers rather than handing back a tile that fails minutes later
@@ -132,13 +135,14 @@ def untile_wide(vt: jax.Array, b: int, n: int) -> jax.Array:
 def _make_kernel(
     *, n: int, k_stop: int, m: int, dmax: int, bt: int, max_iters: int,
     skip_idle: bool, cond_stores: bool, gf_order: int, serpentine: bool,
-    jacobi: bool, m_pad: int, interpret: bool,
+    jacobi: bool, m_pad: int, interpret: bool, wc: int, w_chunks: int,
 ):
     n1 = n + 1
     if jacobi:
         return _make_jacobi_kernel(
             n=n, k_stop=k_stop, m=m, m_pad=m_pad, dmax=dmax, bt=bt,
             max_iters=max_iters, gf_order=gf_order, interpret=interpret,
+            wc=wc, w_chunks=w_chunks,
         )
 
     def kernel(
@@ -174,7 +178,20 @@ def _make_kernel(
         # Hardware window refs keep the leading singleton block dim (the DMA
         # shape check sees the raw (1, n1*bt, W) memref); the interpreter
         # squeezes it — slice the HBM source to match each.
-        if interpret:
+        # With W-chunking (w_chunks > 1) the grid's minor axis walks wc-word
+        # chunks of the symbol: the DMA slices the lane dim, and the mask
+        # sweep repeats identically per chunk (mask evolution is
+        # value-independent, so every chunk is an independent decode of the
+        # same frame under the same schedule).
+        if w_chunks > 1:
+            wj = pl.program_id(1) * wc
+            if interpret:
+                src = vals_hbm.at[pl.program_id(0), :, pl.ds(wj, wc)]
+            else:
+                src = vals_hbm.at[
+                    pl.ds(pl.program_id(0), 1), :, pl.ds(wj, wc)
+                ]
+        elif interpret:
             src = vals_hbm.at[pl.program_id(0)]
         else:
             src = vals_hbm.at[pl.ds(pl.program_id(0), 1)]
@@ -326,7 +343,7 @@ def _make_kernel(
 
 def _make_jacobi_kernel(
     *, n: int, k_stop: int, m: int, m_pad: int, dmax: int, bt: int,
-    max_iters: int, gf_order: int, interpret: bool,
+    max_iters: int, gf_order: int, interpret: bool, wc: int, w_chunks: int,
 ):
     """Jacobi-detection sweep: degree-1 detection from a per-sweep MXU count
     matrix instead of per-check erasure-row sums.
@@ -398,7 +415,16 @@ def _make_jacobi_kernel(
         flag_smem,  # (3,) int32 SMEM: [done, unused, unused]
         copy_sem,   # DMA semaphore (copy-in, then reused per sweep)
     ):
-        if interpret:
+        # W-chunking: see the sequential kernel's copy-in note.
+        if w_chunks > 1:
+            wj = pl.program_id(1) * wc
+            if interpret:
+                src = vals_hbm.at[pl.program_id(0), :, pl.ds(wj, wc)]
+            else:
+                src = vals_hbm.at[
+                    pl.ds(pl.program_id(0), 1), :, pl.ds(wj, wc)
+                ]
+        elif interpret:
             src = vals_hbm.at[pl.program_id(0)]
         else:
             src = vals_hbm.at[pl.ds(pl.program_id(0), 1)]
@@ -528,7 +554,7 @@ def _make_jacobi_kernel(
     static_argnames=(
         "max_iters", "early_stop_k", "b_tile", "skip_idle",
         "cond_stores", "gf_order", "serpentine", "schedule", "tiled",
-        "interpret",
+        "interpret", "w_chunk",
     ),
 )
 def peel_decode_vmem(
@@ -546,6 +572,7 @@ def peel_decode_vmem(
     schedule: str = "seq",
     tiled: bool = False,
     interpret: bool = False,
+    w_chunk: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """VMEM-resident peeling decode; sequential (MATLAB) schedule.
 
@@ -606,6 +633,19 @@ def peel_decode_vmem(
         ``values`` in the same tiled layout (``untile_wide`` converts;
         pad-frame lanes are unspecified). The production layout for
         encode->channel->decode pipelines.
+      w_chunk: symbols wider than this many uint32 words decode in
+        wc-word chunks on a (ntiles, W/wc) grid: mask evolution is
+        value-independent, so every chunk is an independent decode of the
+        same frame — identical fixed point, masks, and iteration counts —
+        while the VMEM working tile stays (n+1)*bt*wc, decoupling b_tile
+        from the symbol width (W=512 previously forced bt=16 and lost
+        ~38% throughput; chunked it keeps the headline bt=32 tile). The
+        chunk DMA slices the lane axis of the SAME HBM buffer — no
+        layout change, tiled handoff included. 0 (default) auto-chunks
+        to 256 words when W > 256 and divisible; -1 disables; explicit
+        values must divide W (and be lane-aligned on hardware). The mask
+        sweep repeats per chunk, the same per-frame accounting as
+        decoding the chunks as separate frames.
 
     Returns (values, erased, iters) — (B, n, W), (B, n) bool, (B,) int32;
     with ``tiled=True`` values is (ntiles, (n+1)*b_tile, W).
@@ -677,6 +717,21 @@ def peel_decode_vmem(
         )
         w = w // 4
 
+    # W-chunking (uint32 words, i.e. post-packing for NB).
+    if w_chunk == 0:
+        wc = 256 if (w > 256 and w % 256 == 0) else w
+    elif w_chunk < 0 or w_chunk >= w:
+        wc = w
+    else:
+        wc = int(w_chunk)
+        if w % wc != 0:
+            raise ValueError(f"w_chunk={wc} must divide W={w} (uint32 words)")
+        if not interpret and wc % 128 != 0:
+            raise ValueError(
+                f"w_chunk={wc} must be a multiple of 128 words on hardware"
+            )
+    w_chunks = w // wc
+
     epad = jnp.pad(erased, ((0, bp - b), (0, 1)))
     if tiled:
         vt = values
@@ -697,14 +752,14 @@ def peel_decode_vmem(
         n=n, k_stop=k_stop, m=m, dmax=dmax, bt=bt, max_iters=max_iters,
         skip_idle=skip_idle, cond_stores=cond_stores, gf_order=gf_order,
         serpentine=serpentine, jacobi=jacobi, m_pad=m_pad,
-        interpret=interpret,
+        interpret=interpret, wc=wc, w_chunks=w_chunks,
     )
     # The big values operand stays in HBM (manual DMA straight into the
     # working/output window), so VMEM holds only the output copies. Large
     # tiles (W=512/bt=8, or bt=32 at W=256) exceed VMEM when the pipeline
     # double-buffers the output; drop those to single buffering (compute >>
     # copy time at these shapes, so the lost overlap is negligible).
-    vals_bytes = n1 * bt * w * 4
+    vals_bytes = n1 * bt * wc * 4
     nbuf = 2 if 2 * vals_bytes <= 96 * 1024 * 1024 else 1
     big_mode = None if nbuf == 2 else pl.Buffered(buffer_count=1)
     # Flat ceiling: the kernel's true footprint is nbuf*vals_bytes plus the
@@ -712,18 +767,32 @@ def peel_decode_vmem(
     # lanes); a tight per-shape bound buys nothing and under-estimating it
     # kills the compile.
     vmem_limit = 112 * 1024 * 1024
+    # With W-chunking the grid grows a minor chunk axis: the mask-side
+    # blocks ignore it (same block revisited for consecutive j — fetched
+    # once, copied out after the last chunk; every chunk writes identical
+    # mask results), only the values output indexes it.
+    if w_chunks > 1:
+        grid = (ntiles, w_chunks)
+        map_tile = lambda i, j, topo, cf, iv: (i, 0, 0)
+        map_const = lambda i, j, topo, cf, iv: (0, 0)
+        map_vals = lambda i, j, topo, cf, iv: (i, 0, j)
+    else:
+        grid = (ntiles,)
+        map_tile = lambda i, topo, cf, iv: (i, 0, 0)
+        map_const = lambda i, topo, cf, iv: (0, 0)
+        map_vals = lambda i, topo, cf, iv: (i, 0, 0)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(
-            (None, n1 * bt, 1), lambda i, topo, cf, iv: (i, 0, 0),
+            (None, n1 * bt, 1), map_tile,
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (None, n1, bt), lambda i, topo, cf, iv: (i, 0, 0),
+            (None, n1, bt), map_tile,
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (None, 1, bt), lambda i, topo, cf, iv: (i, 0, 0),
+            (None, 1, bt), map_tile,
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -733,13 +802,13 @@ def peel_decode_vmem(
         # grid; ~6 MB bf16 at the headline code) + the scratches they fill.
         in_specs.append(
             pl.BlockSpec(
-                (2 * m_pad, n1), lambda i, topo, cf, iv: (0, 0),
+                (2 * m_pad, n1), map_const,
                 memory_space=pltpu.VMEM,
             )
         )
         in_specs.append(
             pl.BlockSpec(
-                (n1, m_pad), lambda i, topo, cf, iv: (0, 0),
+                (n1, m_pad), map_const,
                 memory_space=pltpu.VMEM,
             )
         )
@@ -760,19 +829,19 @@ def peel_decode_vmem(
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(ntiles,),
+        grid=grid,
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
-                (None, n1 * bt, w), lambda i, topo, cf, iv: (i, 0, 0),
+                (None, n1 * bt, wc), map_vals,
                 memory_space=pltpu.VMEM, pipeline_mode=big_mode,
             ),
             pl.BlockSpec(
-                (None, n1, bt), lambda i, topo, cf, iv: (i, 0, 0),
+                (None, n1, bt), map_tile,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, 1, bt), lambda i, topo, cf, iv: (i, 0, 0),
+                (None, 1, bt), map_tile,
                 memory_space=pltpu.VMEM,
             ),
         ),

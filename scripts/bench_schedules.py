@@ -33,10 +33,15 @@ arrays = device_arrays(code)
 key = jax.random.key(0)
 
 
-def run(schedule, bt, reps=10, per=PER, max_iters=50, W=W, B=B):
+def run(schedule, bt, reps=10, per=PER, max_iters=50, W=W, B=B, w_chunk=0):
     src = jax.random.bits(key, (B, code.k, W), dtype=jnp.uint32)
+    # The encoder W-chunks like the decoder, so the tiled handoff works at
+    # any (bt, W) the decoder runs. Unchunked baseline legs (w_chunk=-1)
+    # must use a tile the UNCHUNKED kernels fit.
     cw = jax.block_until_ready(
-        encode_packed_vmem(arrays, src, b_tile=bt, tiled_out=True)
+        encode_packed_vmem(
+            arrays, src, b_tile=bt, tiled_out=True, w_chunk=w_chunk
+        )
     )
     del src
 
@@ -45,7 +50,7 @@ def run(schedule, bt, reps=10, per=PER, max_iters=50, W=W, B=B):
         mask = ch.iid_erasures(k, (B, code.n), per)
         values, erased, iters = peel_decode_vmem(
             arrays, cw, mask, max_iters=max_iters, early_stop_k=code.k,
-            b_tile=bt, tiled=True, schedule=schedule,
+            b_tile=bt, tiled=True, schedule=schedule, w_chunk=w_chunk,
         )
         digest = jnp.bitwise_xor.reduce(
             jnp.bitwise_xor.reduce(values, axis=1), axis=0
@@ -118,10 +123,14 @@ leg(run, "seq", 32)     # current production point: expect ~78 ms / 328 Gbps
 leg(run, "jacobi", 32)
 leg(run, "jacobi", 16)
 leg(run_nb, "jacobi", 32)  # seq NB baseline: 79.3 Gbps
-leg(run, "jacobi", 16, W=512, B=1024)  # S=16384; seq baseline: 204.5 Gbps
+# S=16384: auto W-chunking (wc=256) keeps bt=32 — expect near the headline
+# rate; the unchunked bt=16 comparison leg measured 204.5 Gbps (seq).
+leg(run, "seq", 32, W=512, B=1024)
+leg(run, "jacobi", 32, W=512, B=1024)
+leg(run, "seq", 16, W=512, B=1024, w_chunk=-1)  # unchunked baseline leg
 leg(run, "seq", 40)     # bt=48 known OOM; probe the VMEM edge
 leg(run, "jacobi", 40)
-# S=32768: bt=8/W=1024 has the same (8192-element) VMEM tile as the
-# headline bt=32/W=256 — scalar work amortizes over elements, not frames.
-leg(run, "seq", 8, W=1024, B=512)
-leg(run, "jacobi", 8, W=1024, B=512)
+# S=32768: chunked wc=256 keeps the headline tile at 4 chunks/frame.
+leg(run, "seq", 32, W=1024, B=512)
+leg(run, "seq", 8, W=1024, B=512, w_chunk=-1)  # unchunked baseline leg
+leg(run, "jacobi", 8, W=1024, B=512, w_chunk=-1)

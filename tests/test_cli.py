@@ -92,7 +92,10 @@ def test_default_b_tile_envelope():
 
     assert default_b_tile(2040, 256) == 32
     assert default_b_tile(2000, 256) == 32
-    assert default_b_tile(2040, 512) == 16  # bt=24 measured OOM at W=512
+    # W > 256 auto-chunks to 256-word tiles, so the frame tile stays 32
+    # (unchunked bt=24 at W=512 measured OOM; chunked runs at bt=32).
+    assert default_b_tile(2040, 512) == 32
+    assert default_b_tile(2040, 1024) == 32
     assert default_b_tile(4000, 256) == 16
     assert default_b_tile(4080, 256) == 16
     with pytest.raises(ValueError):  # below the bt=8 floor: doesn't fit

@@ -43,6 +43,40 @@ def test_nb_matches_xla():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_w_chunked_matches_unchunked():
+    """W-chunked encode (lanes independent) is bit-identical to unchunked,
+    flat and tiled_out, binary and GF(256)."""
+    code = get_code("n2000_k1000")
+    arrays = device_arrays(code)
+    b, w, bt = 5, 4, 4
+    src = jax.random.bits(jax.random.key(9), (b, code.k, w), dtype=jnp.uint32)
+    want = encode_packed_vmem(
+        arrays, src, b_tile=bt, interpret=True, w_chunk=-1
+    )
+    got = encode_packed_vmem(arrays, src, b_tile=bt, interpret=True, w_chunk=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    want_t = encode_packed_vmem(
+        arrays, src, b_tile=bt, tiled_out=True, interpret=True, w_chunk=-1
+    )
+    got_t = encode_packed_vmem(
+        arrays, src, b_tile=bt, tiled_out=True, interpret=True, w_chunk=2
+    )
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+
+    nb = toy_code(n=60, k=36, seed=2, gf_order=256)
+    nba = device_arrays(nb)
+    srcb = jax.random.bits(jax.random.key(10), (6, nb.k, 8), dtype=jnp.uint8)
+    want_nb = encode_packed(nba, srcb, gf_order=256)
+    got_nb = encode_packed_vmem(
+        nba, srcb, gf_order=256, b_tile=4, interpret=True, w_chunk=1
+    )
+    np.testing.assert_array_equal(np.asarray(got_nb), np.asarray(want_nb))
+    with pytest.raises(ValueError):  # must divide W (words)
+        encode_packed_vmem(
+            arrays, src, b_tile=bt, interpret=True, w_chunk=3
+        )
+
+
 def test_tiled_out_matches_tile_wide():
     """tiled_out=True returns exactly tile_wide(flat output) — the native
     tile handoff feeding peel_decode_vmem(tiled=True)."""

@@ -294,6 +294,80 @@ def test_tiled_nb_matches_untiled():
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
 
+@pytest.mark.parametrize("schedule", ["seq", "jacobi"])
+def test_w_chunked_matches_unchunked(schedule):
+    """W-chunking (w_chunk < W): identical values, masks, and iteration
+    counts to the unchunked decode — mask evolution is value-independent,
+    so each chunk is an independent decode of the same frame. Covers the
+    flat and tiled input paths and GF(256)."""
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import tile_wide, untile_wide
+
+    code = gen_row_wise([(16, 6)], [(48, 2)], seed=3, max_tries=40,
+                        strict_tries=4)
+    b, w, bt = 6, 4, 4
+    arrays, cw, recv, mask = _make_case(code, b, w, 0.25, seed=7)
+    v1, e1, i1 = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, b_tile=bt, interpret=True,
+        schedule=schedule, w_chunk=-1,
+    )
+    v2, e2, i2 = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, b_tile=bt, interpret=True,
+        schedule=schedule, w_chunk=2,
+    )
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    # Tiled handoff: the chunk DMA slices the same tile-major HBM buffer.
+    vt = tile_wide(recv, bt)
+    v3t, e3, i3 = peel_decode_vmem(
+        arrays, vt, mask, max_iters=50, b_tile=bt, tiled=True,
+        interpret=True, schedule=schedule, w_chunk=2,
+    )
+    assert v3t.shape == vt.shape
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e3))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))
+    np.testing.assert_array_equal(
+        np.asarray(v1), np.asarray(untile_wide(v3t, b, code.n))
+    )
+
+
+def test_w_chunked_nb_matches_unchunked():
+    """GF(256) W-chunking equality (chunk boundary inside the packed
+    uint32 word stream)."""
+    from ldpc_erasure_codes_tpu.codes import toy_code
+    from ldpc_erasure_codes_tpu.ops import encode_packed
+
+    code = toy_code(n=60, k=36, seed=2, gf_order=256)
+    arrays = device_arrays(code)
+    b, w, bt = 6, 8, 4  # 8 bytes = 2 uint32 words -> chunks of 1 word
+    key = jax.random.key(23)
+    src = jax.random.bits(key, (b, code.k, w), dtype=jnp.uint8)
+    cw = encode_packed(arrays, src, gf_order=256)
+    mask = jax.random.uniform(jax.random.fold_in(key, 1), (b, code.n)) < 0.15
+    recv = jnp.where(mask[:, :, None], jnp.uint8(0), cw)
+    v1, e1, i1 = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, gf_order=256, b_tile=bt,
+        interpret=True, w_chunk=-1,
+    )
+    v2, e2, i2 = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, gf_order=256, b_tile=bt,
+        interpret=True, w_chunk=1,
+    )
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_w_chunk_validation():
+    code = gen_row_wise([(16, 6)], [(48, 2)], seed=3, max_tries=40,
+                        strict_tries=4)
+    arrays, cw, recv, mask = _make_case(code, 4, 4, 0.25, seed=8)
+    with pytest.raises(ValueError):  # must divide W
+        peel_decode_vmem(
+            arrays, recv, mask, b_tile=4, interpret=True, w_chunk=3
+        )
+
+
 @pytest.mark.parametrize("bt", [4, 8])
 def test_jacobi_matches_xla_jacobi_bit_exact(bt):
     """schedule="jacobi" = the Jacobi schedule run in VMEM: masks, resolved
