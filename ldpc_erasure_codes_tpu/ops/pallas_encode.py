@@ -69,7 +69,8 @@ def _make_kernel(
         # as separate frames).
         if w_chunks > 1:
             src = src_hbm.at[
-                pl.program_id(0), :, pl.ds(pl.program_id(1) * wc, wc)
+                pl.program_id(0), :,
+                pl.ds(pl.multiple_of(pl.program_id(1) * wc, wc), wc)
             ]
         else:
             src = src_hbm.at[pl.program_id(0)]

@@ -184,7 +184,7 @@ def _make_kernel(
         # value-independent, so every chunk is an independent decode of the
         # same frame under the same schedule).
         if w_chunks > 1:
-            wj = pl.program_id(1) * wc
+            wj = pl.multiple_of(pl.program_id(1) * wc, wc)
             if interpret:
                 src = vals_hbm.at[pl.program_id(0), :, pl.ds(wj, wc)]
             else:
@@ -417,7 +417,7 @@ def _make_jacobi_kernel(
     ):
         # W-chunking: see the sequential kernel's copy-in note.
         if w_chunks > 1:
-            wj = pl.program_id(1) * wc
+            wj = pl.multiple_of(pl.program_id(1) * wc, wc)
             if interpret:
                 src = vals_hbm.at[pl.program_id(0), :, pl.ds(wj, wc)]
             else:
