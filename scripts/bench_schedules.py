@@ -37,12 +37,22 @@ def run(schedule, bt, reps=10, per=PER, max_iters=50, W=W, B=B, w_chunk=0):
     src = jax.random.bits(key, (B, code.k, W), dtype=jnp.uint32)
     # The encoder W-chunks like the decoder, so the tiled handoff works at
     # any (bt, W) the decoder runs. Unchunked baseline legs (w_chunk=-1)
-    # must use a tile the UNCHUNKED kernels fit.
-    cw = jax.block_until_ready(
-        encode_packed_vmem(
-            arrays, src, b_tile=bt, tiled_out=True, w_chunk=w_chunk
+    # must use a tile the UNCHUNKED kernels fit. If the encoder can't fit
+    # the decoder's tile, encode at a safe tile and re-tile outside the
+    # timed region (encode is not what these legs measure).
+    try:
+        cw = jax.block_until_ready(
+            encode_packed_vmem(
+                arrays, src, b_tile=bt, tiled_out=True, w_chunk=w_chunk
+            )
         )
-    )
+    except Exception as e:
+        print(f"   (encoder fallback at bt={bt}: {type(e).__name__})",
+              flush=True)
+        from ldpc_erasure_codes_tpu.ops.pallas_peel import tile_wide
+        cw = jax.block_until_ready(
+            tile_wide(encode_packed_vmem(arrays, src, b_tile=16), bt)
+        )
     del src
 
     @jax.jit
@@ -76,12 +86,15 @@ def run(schedule, bt, reps=10, per=PER, max_iters=50, W=W, B=B, w_chunk=0):
     return dt
 
 
-def run_nb(schedule, bt, reps=10, B=256, Wb=1024):
+def run_nb(schedule, bt, reps=10, B=256, Wb=1024, tiled=False):
     nb = get_code("n2040_k1530").lift_to_gf256(seed=0)
     nba = device_arrays(nb)
     src = jax.random.bits(key, (B, nb.k, Wb), dtype=jnp.uint8)
     cw = jax.block_until_ready(
-        encode_packed_vmem(nba, src, gf_order=256, b_tile=8)
+        encode_packed_vmem(
+            nba, src, gf_order=256, b_tile=bt if tiled else 8,
+            tiled_out=tiled,
+        )
     )
 
     @jax.jit
@@ -89,7 +102,7 @@ def run_nb(schedule, bt, reps=10, B=256, Wb=1024):
         mask = ch.iid_erasures(k2, (B, nb.n), PER)
         v, e, it = peel_decode_vmem(
             nba, cw, mask, max_iters=50, early_stop_k=nb.k, b_tile=bt,
-            gf_order=256, schedule=schedule,
+            gf_order=256, schedule=schedule, tiled=tiled,
         )
         dig = jnp.bitwise_xor.reduce(jnp.bitwise_xor.reduce(v, axis=1), axis=0)
         return jnp.sum(e[:, : nb.k], dtype=jnp.int32), jnp.max(it), dig
@@ -111,26 +124,44 @@ def run_nb(schedule, bt, reps=10, B=256, Wb=1024):
 
 
 print("devices:", jax.devices(), flush=True)
-def leg(fn, *a, **kw):
+_only = set(sys.argv[1:])
+
+
+def leg(name, fn, *a, **kw):
+    if _only and name not in _only:
+        return
+    print(f"-- leg {name}", flush=True)
     try:
         fn(*a, **kw)
     except Exception as e:
-        print(f"LEG FAILED {a} {kw}: {type(e).__name__}: {str(e)[:200]}",
+        print(f"LEG FAILED {name} {a} {kw}: {type(e).__name__}: {str(e)[:200]}",
               flush=True)
 
 
-leg(run, "seq", 32)     # current production point: expect ~78 ms / 328 Gbps
-leg(run, "jacobi", 32)
-leg(run, "jacobi", 16)
-leg(run_nb, "jacobi", 32)  # seq NB baseline: 79.3 Gbps
+# Run all legs, or a subset by name: python scripts/bench_schedules.py j32 s64c
+leg("s32", run, "seq", 32)  # production point: expect ~78 ms / 328 Gbps
+leg("j32", run, "jacobi", 32)
+leg("j16", run, "jacobi", 16)
+leg("nbj32", run_nb, "jacobi", 32)  # seq NB baseline: 79.3 Gbps
+# NB with the tile-major handoff + batch scaling (the two levers that took
+# binary 194 -> 328): the NB record (79.3) was untiled at B=256.
+leg("nbs32t", run_nb, "seq", 32, tiled=True)
+leg("nbs32tB1k", run_nb, "seq", 32, B=1024, tiled=True)
+leg("nbs32tB512", run_nb, "seq", 32, B=512, tiled=True)
 # S=16384: auto W-chunking (wc=256) keeps bt=32 — expect near the headline
 # rate; the unchunked bt=16 comparison leg measured 204.5 Gbps (seq).
-leg(run, "seq", 32, W=512, B=1024)
-leg(run, "jacobi", 32, W=512, B=1024)
-leg(run, "seq", 16, W=512, B=1024, w_chunk=-1)  # unchunked baseline leg
-leg(run, "seq", 40)     # bt=48 known OOM; probe the VMEM edge
-leg(run, "jacobi", 40)
+leg("s32w512", run, "seq", 32, W=512, B=1024)
+leg("j32w512", run, "jacobi", 32, W=512, B=1024)
+leg("s16w512u", run, "seq", 16, W=512, B=1024, w_chunk=-1)  # unchunked base
+leg("s40", run, "seq", 40)     # bt=48 known OOM; probe the VMEM edge
+leg("j40", run, "jacobi", 40)
+# W-chunking decouples bt from W even at the headline W=256: wc=128 halves
+# the working window, fitting bt=48/64 (2x-4x the per-check scalar
+# amortization) at the cost of running the mask sweep once per chunk.
+leg("s48c", run, "seq", 48, w_chunk=128)
+leg("s64c", run, "seq", 64, w_chunk=128)
+leg("j64c", run, "jacobi", 64, w_chunk=128)
 # S=32768: chunked wc=256 keeps the headline tile at 4 chunks/frame.
-leg(run, "seq", 32, W=1024, B=512)
-leg(run, "seq", 8, W=1024, B=512, w_chunk=-1)  # unchunked baseline leg
-leg(run, "jacobi", 8, W=1024, B=512, w_chunk=-1)
+leg("s32w1024", run, "seq", 32, W=1024, B=512)
+leg("s8w1024u", run, "seq", 8, W=1024, B=512, w_chunk=-1)  # unchunked base
+leg("j8w1024u", run, "jacobi", 8, W=1024, B=512, w_chunk=-1)
