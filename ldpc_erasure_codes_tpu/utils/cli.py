@@ -81,7 +81,7 @@ def cmd_sim(args) -> int:
 def make_throughput_step(
     code, arrays, *, batch: int, per: float, max_iters: int,
     impl: str = "pallas", schedule: str = "seq", b_tile: int = 0,
-    symbol_words: int = 256,
+    symbol_words: int = 256, tiled: bool = False,
 ):
     """Jitted throughput step: on-device channel draw + wide value decode
     (impl 'pallas' = the production VMEM-resident kernel, masking fused
@@ -90,7 +90,12 @@ def make_throughput_step(
     Gauss-Seidel parity, jacobi = MXU-count detection; see
     ops/pallas_peel.py). ``b_tile`` <= 0 auto-sizes the VMEM frame tile to
     the code length and ``symbol_words`` (larger registry codes need a
-    smaller tile than the headline bt=32 to fit VMEM).
+    smaller tile than the headline bt=32 to fit VMEM). ``tiled`` expects
+    (and returns) codewords in the kernel's tile-major pipeline layout
+    (``encode_packed_vmem(tiled_out=True)`` / ``ops.pallas_peel.tile_wide``)
+    — the production encode->decode handoff, which skips the full-batch HBM
+    layout transposes (~26 ms/step at the headline shape; how bench.py
+    measures).
 
     The returned step's outputs DEPEND on the codeword values (an XOR digest
     of the decoded symbols, as bench.py): mask evolution is value-
@@ -128,7 +133,7 @@ def make_throughput_step(
         if impl == "pallas":
             values, erased, _ = peel_decode_vmem(
                 arrays, cw, mask, max_iters=max_iters, early_stop_k=code.k,
-                b_tile=bt, schedule=schedule,
+                b_tile=bt, schedule=schedule, tiled=tiled,
             )
         else:
             recv = ch.apply_erasures(cw, mask)
@@ -165,12 +170,32 @@ def cmd_throughput(args) -> int:
         impl = "xla"
     key = jax.random.key(0)
     src = jax.random.bits(key, (b, code.k, w), dtype=jnp.uint32)
-    cw = jax.block_until_ready(encode_packed(arrays, src))
+    tiled = bool(getattr(args, "tiled", False)) and impl == "pallas"
+    bt = args.b_tile
+    if tiled and bt <= 0:
+        from ldpc_erasure_codes_tpu.ops.pallas_peel import default_b_tile
+
+        try:
+            bt = default_b_tile(code.n, w)
+        except ValueError as exc:
+            print(f"note: {exc}; measuring untiled", file=sys.stderr)
+            tiled = False
+    if tiled:
+        # Production pipeline layout: the encoder emits (and the decoder
+        # consumes) the tile-major accelerator layout — no full-batch HBM
+        # layout transpose between them (bench.py's configuration).
+        from ldpc_erasure_codes_tpu.ops.pallas_encode import encode_packed_vmem
+
+        cw = jax.block_until_ready(
+            encode_packed_vmem(arrays, src, b_tile=bt, tiled_out=True)
+        )
+    else:
+        cw = jax.block_until_ready(encode_packed(arrays, src))
 
     step = make_throughput_step(
         code, arrays, batch=b, per=args.per, max_iters=args.max_iters,
-        impl=impl, schedule=args.schedule, b_tile=args.b_tile,
-        symbol_words=w,
+        impl=impl, schedule=args.schedule, b_tile=bt if tiled else args.b_tile,
+        symbol_words=w, tiled=tiled,
     )
     jax.block_until_ready(step(jax.random.fold_in(key, 999), cw))
     t0 = time.perf_counter()
@@ -460,6 +485,12 @@ def main(argv: list[str] | None = None) -> int:
         "--b-tile", type=int, default=0,
         help="Pallas frames/VMEM tile (0 = auto-size to the code and "
         "symbol width; see ops/pallas_peel.default_b_tile)",
+    )
+    pt.add_argument(
+        "--tiled", action="store_true",
+        help="use the tile-major encode->decode pipeline layout (the "
+        "production handoff bench.py measures; skips the full-batch HBM "
+        "layout transposes)",
     )
     pt.add_argument("--reps", type=int, default=20)
     pt.set_defaults(fn=cmd_throughput)

@@ -33,7 +33,10 @@ arrays = device_arrays(code)
 key = jax.random.key(0)
 
 
-def run(schedule, bt, reps=10, per=PER, max_iters=50, W=W, B=B, w_chunk=0):
+def run(schedule, bt, reps=10, per=PER, max_iters=50, W=W, B=B, w_chunk=0,
+        code_name="n2040_k1530"):
+    code = get_code(code_name)
+    arrays = device_arrays(code)
     src = jax.random.bits(key, (B, code.k, W), dtype=jnp.uint32)
     # The encoder W-chunks like the decoder, so the tiled handoff works at
     # any (bt, W) the decoder runs. Unchunked baseline legs (w_chunk=-1)
@@ -78,7 +81,7 @@ def run(schedule, bt, reps=10, per=PER, max_iters=50, W=W, B=B, w_chunk=0):
     dt = (time.perf_counter() - t0) / reps
     gbps = B * code.k * 32 * W / dt / 1e9
     print(
-        f"{schedule:6s} bt={bt:2d} per={per}: {dt*1e3:7.2f} ms  "
+        f"{code_name} {schedule:6s} bt={bt:2d} per={per}: {dt*1e3:7.2f} ms  "
         f"{gbps:7.1f} Gbps  resid={int(out[0])} maxit={int(out[1])} "
         f"(compile {tc:.0f}s)",
         flush=True,
@@ -161,6 +164,11 @@ leg("j40", run, "jacobi", 40)
 leg("s48c", run, "seq", 48, w_chunk=128)
 leg("s64c", run, "seq", 64, w_chunk=128)
 leg("j64c", run, "jacobi", 64, w_chunk=128)
+# Registry breadth: the other production-rate codes at their deep paper
+# operating points ((2000,1000) PER .3438 = tex:202; (4000,2000) has no
+# published numbers — VALIDATION.md's FER section covers it).
+leg("c2000", run, "seq", 32, code_name="n2000_k1000", per=0.3438)
+leg("c4000", run, "seq", 16, code_name="n4000_k2000", per=0.3438, B=1024)
 # S=32768: chunked wc=256 keeps the headline tile at 4 chunks/frame.
 leg("s32w1024", run, "seq", 32, W=1024, B=512)
 leg("s8w1024u", run, "seq", 8, W=1024, B=512, w_chunk=-1)  # unchunked base

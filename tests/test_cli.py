@@ -57,6 +57,47 @@ def test_throughput_cli_smoke(capsys):
     assert out["symbol_bits"] == 64
 
 
+def test_throughput_step_tiled_matches_untiled():
+    """--tiled measures the production tile-major handoff; the step must
+    produce the same residual and value digest as the untiled layout (XOR
+    is layout-invariant and pad rows/frames are zero)."""
+    from ldpc_erasure_codes_tpu.codes.toy import toy_code
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import tile_wide
+
+    code = toy_code(n=48, k=32, seed=3)
+    arrays = device_arrays(code)
+    b, w, bt = 8, 4, 8
+    src = jax.random.bits(jax.random.key(1), (b, code.k, w), dtype=jnp.uint32)
+    cw = encode_packed(arrays, src)
+    kw = dict(batch=b, per=0.2, max_iters=50, b_tile=bt)
+    step_u = cli.make_throughput_step(code, arrays, **kw)
+    step_t = cli.make_throughput_step(code, arrays, tiled=True, **kw)
+    chan = jax.random.fold_in(jax.random.key(0), 7)
+    r_u, d_u = step_u(chan, cw)
+    r_t, d_t = step_t(chan, tile_wide(cw, bt))
+    assert int(r_u) == int(r_t)
+    assert np.array_equal(np.asarray(d_u), np.asarray(d_t))
+
+
+def test_throughput_cli_tiled_narrow_fallback(capsys):
+    """--tiled with a narrow symbol falls back (impl=xla forces tiled off)
+    instead of failing."""
+    rc = cli.main(
+        [
+            "throughput",
+            "--code", "n2000_k1000",
+            "--batch", "4",
+            "--symbol-words", "2",
+            "--per", "0.2",
+            "--reps", "1",
+            "--tiled",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["info_gbps"] > 0
+
+
 def test_codes_cli_smoke(capsys):
     assert cli.main(["codes"]) == 0
     out = capsys.readouterr().out
