@@ -18,7 +18,12 @@ import jax.numpy as jnp
 from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
 from ldpc_erasure_codes_tpu.ops.compact import compact_ge_solve
 from ldpc_erasure_codes_tpu.ops.ge import ge_solve
-from ldpc_erasure_codes_tpu.ops.pallas_peel import default_b_tile, peel_decode_vmem
+from ldpc_erasure_codes_tpu.ops.pallas_peel import (
+    default_b_tile,
+    peel_decode_vmem,
+    tile_wide,
+    untile_wide,
+)
 from ldpc_erasure_codes_tpu.ops.peel import peel_decode
 from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
 
@@ -27,6 +32,7 @@ from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
     jax.jit,
     static_argnames=(
         "gf_order", "peel_iters", "emax", "impl", "ge_subbatch", "b_tile",
+        "tiled",
     ),
 )
 def hybrid_decode(
@@ -40,6 +46,7 @@ def hybrid_decode(
     impl: str = "gather",
     ge_subbatch: int = 0,
     b_tile: int = 0,
+    tiled: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Peel up to ``peel_iters`` sweeps, then GE-solve the residual.
 
@@ -52,19 +59,36 @@ def hybrid_decode(
     rare. ``b_tile`` <= 0 auto-sizes the VMEM frame tile to the code/symbol
     shape (``pallas_peel.default_b_tile``); ``impl="vmem"`` applies to wide
     (B, n, W) values only — scalar symbols have no VMEM kernel and use the
-    gather path.
+    gather path. ``tiled`` (impl="vmem" only): ``values`` is in the
+    tile-major pipeline layout (``encode_packed_vmem(tiled_out=True)`` /
+    ``pallas_peel.tile_wide``) and is returned in it — the peel rides the
+    layout straight through; the GE fallback untiles/retiles INSIDE the
+    residual branch, so the common all-peeled batch never pays a layout
+    transpose.
 
     Returns (values, erased, iters, failed).
     """
+    if tiled and impl != "vmem":
+        raise ValueError("tiled=True requires impl='vmem'")
     if values.ndim == 3 and impl == "vmem":
         # Production wide path: the VMEM-resident Pallas decoder (binary or
         # GF(256); frames stay on chip across the whole peel loop).
-        bt = b_tile if b_tile > 0 else default_b_tile(
-            values.shape[1], values.shape[2]
-        )
+        if tiled:
+            n1 = erased.shape[1] + 1
+            bt_in = values.shape[1] // n1
+            if b_tile > 0 and b_tile != bt_in:
+                raise ValueError(
+                    f"b_tile={b_tile} != tile size {bt_in} of the tiled "
+                    f"values layout {values.shape}"
+                )
+            bt = bt_in
+        else:
+            bt = b_tile if b_tile > 0 else default_b_tile(
+                values.shape[1], values.shape[2]
+            )
         values, erased, iters = peel_decode_vmem(
             arrays, values, erased, max_iters=peel_iters, gf_order=gf_order,
-            b_tile=bt,
+            b_tile=bt, tiled=tiled,
         )
     elif values.ndim == 3 and impl == "gather":
         # Wide frames use the symbol-major XLA decoder (same fixed point and
@@ -82,14 +106,33 @@ def hybrid_decode(
             impl=scalar_impl,
         )
     any_residual = jnp.any(erased)
+    b, n = erased.shape
 
-    def with_ge(args):
-        v, e = args
+    def ge_flat(v, e):
         if ge_subbatch > 0:
             return compact_ge_solve(
                 arrays, v, e, emax=emax, f_max=ge_subbatch, gf_order=gf_order
             )
         return ge_solve(arrays, v, e, emax=emax, gf_order=gf_order)
+
+    def with_ge(args):
+        v, e = args
+        if not tiled:
+            return ge_flat(v, e)
+        # Untile/retile only inside the residual branch: the all-peeled
+        # batch (the common case at production PER) skips this entirely.
+        bt = v.shape[1] // (n + 1)
+        vf = untile_wide(v, b, n)
+        if gf_order == 256:
+            vf = jax.lax.bitcast_convert_type(vf, jnp.uint8).reshape(
+                b, n, 4 * vf.shape[2]
+            )
+        vf, e, failed = ge_flat(vf, e)
+        if gf_order == 256:
+            vf = jax.lax.bitcast_convert_type(
+                vf.reshape(b, n, -1, 4), jnp.uint32
+            )
+        return tile_wide(vf, bt), e, failed
 
     def without_ge(args):
         v, e = args

@@ -97,7 +97,26 @@ class SimConfig:
     # device sits behind a network tunnel; the host loop then checks the
     # error-count stopping rule every `steps_per_call` batches.
     steps_per_call: int = 1
+    # Value-mode production layout: encode with the Pallas VMEM encoder
+    # emitting the tile-major accelerator layout and decode it directly
+    # (ops/pallas_peel.tile_wide documents the layout) — the value-tracking
+    # step never pays a full-batch HBM layout transpose, and channel
+    # masking fuses into the decoder copy-in (no apply_erasures pass).
+    # Statistics are identical (they are mask-derived; the tiled decode is
+    # bit-exact vs the flat layout — tests/test_pallas_peel.py). Requires
+    # packed symbols (symbol_words > 0), decoder impl="vmem", and kind
+    # peel/hybrid. Measured 221.7 vs 166.4 Gbps for the hybrid value
+    # pipeline at the headline shape (VALIDATION.md).
+    tiled_pipeline: bool = False
 
     def __post_init__(self):
         if self.gf_order not in (2, 256):
             raise ValueError("gf_order must be 2 or 256")
+        if self.tiled_pipeline:
+            if self.symbol_words <= 0:
+                raise ValueError("tiled_pipeline requires packed symbols")
+            if self.decoder.impl != "vmem" or self.decoder.kind == "ml":
+                raise ValueError(
+                    "tiled_pipeline requires decoder impl='vmem' and kind "
+                    "peel/hybrid"
+                )

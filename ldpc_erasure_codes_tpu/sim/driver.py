@@ -81,7 +81,8 @@ def _erasure_mask(key: jax.Array, cfg: SimConfig, n: int, per: jax.Array) -> jax
 
 
 def _decode(
-    arrays: CodeArrays, cfg: SimConfig, values: jax.Array, erased: jax.Array, k: int
+    arrays: CodeArrays, cfg: SimConfig, values: jax.Array, erased: jax.Array,
+    k: int, *, tiled: bool = False, bt: int = 0
 ):
     d = cfg.decoder
     early = k if d.early_stop_k else None
@@ -93,9 +94,10 @@ def _decode(
                 peel_decode_vmem,
             )
 
-            bt = d.b_tile if d.b_tile > 0 else default_b_tile(
-                values.shape[1], values.shape[2]
-            )
+            if not tiled:
+                bt = d.b_tile if d.b_tile > 0 else default_b_tile(
+                    values.shape[1], values.shape[2]
+                )
             v, e, iters = peel_decode_vmem(
                 arrays,
                 values,
@@ -104,6 +106,7 @@ def _decode(
                 max_iters=d.max_iters,
                 early_stop_k=early,
                 b_tile=bt,
+                tiled=tiled,
             )
             return v, e, iters, None
         # Scalar/2D symbols have no VMEM kernel: impl="vmem" maps to the
@@ -128,7 +131,8 @@ def _decode(
             emax=d.emax,
             impl=d.impl,
             ge_subbatch=d.ge_subbatch,
-            b_tile=d.b_tile,
+            b_tile=bt if tiled else d.b_tile,
+            tiled=tiled,
         )
         return v, e, iters, failed
     v, e, failed = ge_solve(
@@ -195,10 +199,38 @@ def make_sim_step(
     rs_n, rs_k = code.rs_n, code.rs_k
     max_hist = cfg.decoder.max_iters if cfg.decoder.kind == "peel" else cfg.decoder.peel_iters
 
+    if cfg.tiled_pipeline:
+        # Resolve the shared frame tile once: the encoder emits — and the
+        # decoder consumes — the tile-major layout at this tile size.
+        from ldpc_erasure_codes_tpu.ops.pallas_peel import default_b_tile
+
+        words = (
+            cfg.symbol_words if cfg.gf_order == 2 else cfg.symbol_words // 4
+        )
+        tile_bt = (
+            cfg.decoder.b_tile if cfg.decoder.b_tile > 0
+            else default_b_tile(n, words)
+        )
+
     def step_once(key: jax.Array, per: jax.Array) -> SimStats:
         k_src, k_ch = jax.random.split(key)
         mask = _erasure_mask(k_ch, cfg, n, per)
-        if cfg.track_values:
+        if cfg.track_values and cfg.tiled_pipeline:
+            from ldpc_erasure_codes_tpu.ops.pallas_encode import (
+                encode_packed_vmem,
+            )
+
+            source = _draw_source(k_src, cfg, k)
+            # Tile-major handoff: no apply_erasures pass (masking is fused
+            # into the decoder copy-in) and no HBM layout transposes.
+            cw = encode_packed_vmem(
+                arrays, source, gf_order=cfg.gf_order, b_tile=tile_bt,
+                tiled_out=True,
+            )
+            _, e_out, iters, failed = _decode(
+                arrays, cfg, cw, mask, k, tiled=True, bt=tile_bt
+            )
+        elif cfg.track_values:
             source = _draw_source(k_src, cfg, k)
             cw = _encode(arrays, cfg, source)
             recv = ch.apply_erasures(cw, mask)

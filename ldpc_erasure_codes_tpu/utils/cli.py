@@ -58,10 +58,13 @@ def cmd_sim(args) -> int:
             peel_iters=args.peel_iters,
             emax=args.emax,
             early_stop_k=args.early_stop_k,
+            impl="vmem" if getattr(args, "tiled_pipeline", False)
+            else DecoderConfig().impl,
         ),
         seed=args.seed,
         track_values=not args.pattern_only,
         steps_per_call=args.steps_per_call,
+        tiled_pipeline=bool(getattr(args, "tiled_pipeline", False)),
     )
     pers = [float(p) for p in args.pers.split(",")]
     points = run_fer_sweep(
@@ -470,6 +473,12 @@ def main(argv: list[str] | None = None) -> int:
         type=int,
         default=8,
         help="batches per device dispatch (amortizes launch latency)",
+    )
+    ps.add_argument(
+        "--tiled-pipeline",
+        action="store_true",
+        help="value-mode production layout: Pallas tile-major encode->"
+        "decode handoff (forces decoder impl=vmem; requires --symbol-words)",
     )
     ps.set_defaults(fn=cmd_sim)
 

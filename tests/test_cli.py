@@ -98,6 +98,25 @@ def test_throughput_cli_tiled_narrow_fallback(capsys):
     assert out["info_gbps"] > 0
 
 
+def test_sim_cli_tiled_pipeline_smoke(capsys):
+    """--tiled-pipeline runs the value-mode tile-major handoff end to end."""
+    rc = cli.main(
+        [
+            "sim",
+            "--code", "n2000_k1000",
+            "--batch", "8",
+            "--symbol-words", "2",
+            "--pers", "0.3",
+            "--target-errors", "1",
+            "--max-frames", "16",
+            "--steps-per-call", "1",
+            "--tiled-pipeline",
+        ]
+    )
+    assert rc == 0
+    assert "fer" in capsys.readouterr().out.lower()
+
+
 def test_codes_cli_smoke(capsys):
     assert cli.main(["codes"]) == 0
     out = capsys.readouterr().out

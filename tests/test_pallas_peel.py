@@ -221,6 +221,69 @@ def test_hybrid_vmem_impl():
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
 
+def test_hybrid_tiled_matches_untiled():
+    """hybrid_decode(tiled=True) rides the tile-major layout through the
+    peel and untiles only inside the GE branch — values/masks/iters/failed
+    must equal the flat-layout hybrid, including when GE actually fires
+    (short peel budget at high PER leaves residuals)."""
+    from ldpc_erasure_codes_tpu.ops import hybrid_decode
+    from ldpc_erasure_codes_tpu.ops.hybrid import hybrid_decode as hd
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import tile_wide, untile_wide
+
+    code = get_code("n2000_k1000")
+    b, w, bt = 8, 2, 4
+    arrays, cw, recv, mask = _make_case(code, b, w, 0.35, seed=9)
+    v1, e1, i1, f1 = hybrid_decode(
+        arrays, recv, mask, peel_iters=3, emax=256, impl="vmem", b_tile=bt
+    )
+    v2t, e2, i2, f2 = hybrid_decode(
+        arrays, tile_wide(recv, bt), mask, peel_iters=3, emax=256,
+        impl="vmem", tiled=True,
+    )
+    v2 = untile_wide(v2t, b, code.n)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    with pytest.raises(ValueError):
+        hd(arrays, tile_wide(recv, bt), mask, impl="gather", tiled=True)
+
+
+def test_hybrid_tiled_nb_matches_untiled():
+    """GF(256) tiled hybrid: word-packed layout in/out, GE branch converts
+    through bytes; bit-exact vs the flat uint8 hybrid."""
+    from ldpc_erasure_codes_tpu.codes import toy_code
+    from ldpc_erasure_codes_tpu.ops import encode_packed, hybrid_decode
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import tile_wide, untile_wide
+
+    code = toy_code(n=60, k=36, seed=2, gf_order=256)
+    arrays = device_arrays(code)
+    b, w, bt = 6, 8, 4
+    key = jax.random.key(31)
+    src = jax.random.bits(key, (b, code.k, w), dtype=jnp.uint8)
+    cw = encode_packed(arrays, src, gf_order=256)
+    mask = jax.random.uniform(jax.random.fold_in(key, 1), (b, code.n)) < 0.3
+    recv = jnp.where(mask[:, :, None], jnp.uint8(0), cw)
+    v1, e1, i1, f1 = hybrid_decode(
+        arrays, recv, mask, gf_order=256, peel_iters=3, emax=32,
+        impl="vmem", b_tile=bt,
+    )
+    packed = jax.lax.bitcast_convert_type(
+        recv.reshape(b, code.n, w // 4, 4), jnp.uint32
+    )
+    v2t, e2, i2, f2 = hybrid_decode(
+        arrays, tile_wide(packed, bt), mask, gf_order=256, peel_iters=3,
+        emax=32, impl="vmem", tiled=True,
+    )
+    v2 = jax.lax.bitcast_convert_type(
+        untile_wide(v2t, b, code.n), jnp.uint8
+    ).reshape(b, code.n, w)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
 def test_tile_roundtrip():
     """tile_wide/untile_wide invert each other, incl. ragged batch."""
     from ldpc_erasure_codes_tpu.ops.pallas_peel import tile_wide, untile_wide
