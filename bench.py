@@ -74,10 +74,18 @@ def main() -> None:
         except ValueError as exc:
             print(f"note: {exc}; falling back to BENCH_IMPL=xla", file=sys.stderr)
             impl = "xla"
-    # Sweep schedule for the Pallas kernel: "seq" (MATLAB Gauss-Seidel
-    # parity) or "jacobi" (MXU-count degree-1 detection; see
-    # ops/pallas_peel.py docstring for the tradeoff).
-    schedule = os.environ.get("BENCH_SCHEDULE", "seq")
+    # Sweep schedule for the Pallas kernel. Production default (round 3):
+    # "unrolled" — the constant-topology program (topology baked in as
+    # compile-time slice offsets so Mosaic can pipeline independent check
+    # visits; 522.8 vs 341 Gbps for the dynamic-index "seq" kernel at this
+    # shape, bit-exact vs the oracle). "seq"/"counted"/"grouped"/"jacobi"
+    # select the dynamic-topology kernels (see ops/pallas_peel.py).
+    schedule = os.environ.get("BENCH_SCHEDULE", "unrolled")
+    static_topo = None
+    if impl == "pallas" and schedule == "unrolled":
+        from ldpc_erasure_codes_tpu.ops.pallas_peel import static_topology
+
+        static_topo = static_topology(arrays)
     symbol_bits = 32 * w
 
     key = jax.random.key(0)
@@ -103,6 +111,7 @@ def main() -> None:
             values, erased, iters = peel_decode_vmem(
                 arrays, cw, mask, max_iters=50, early_stop_k=code.k,
                 b_tile=bt, tiled=True, schedule=schedule,
+                static_topo=static_topo,
             )
         else:
             recv = ch.apply_erasures(cw, mask)

@@ -98,16 +98,20 @@ def tile_wide(values: jax.Array, b_tile: int) -> jax.Array:
 
 def default_b_tile(n: int, w: int, *, cap: int = 32) -> int:
     """Largest multiple-of-8 frame tile whose (n+1)*bt*wc*4-byte VMEM working
-    buffer fits the measured v5e envelope (~70 MB: bt=32 at n=2040/W=256 —
-    67 MB — compiles; bt=48 — 100 MB — does not), capped at the
+    buffer fits the device's peel budget (``utils.device.peel_vmem_budget``
+    — derived from the queried TPU generation's VMEM size minus the
+    v5e-calibrated ~58 MB pipeline reserve: bt=32 at n=2040/W=256 — 67 MB —
+    compiles on the 128 MiB part; bt=48 — 100 MB — does not), capped at the
     measured-best headline tile (bt=32; larger never helped). Sizing uses
     the kernel's auto W-chunk (wc = 256 when W > 256 and divisible — see
     ``peel_decode_vmem(w_chunk=...)``), so wide symbols no longer force a
     smaller frame tile. Callers that pick a tile size without shape
     knowledge (CLI, drivers) should use this instead of hard-coding 32 —
     e.g. the (4000, 2000) registry code needs bt=16 at W=256."""
+    from ldpc_erasure_codes_tpu.utils.device import peel_vmem_budget
+
     wc = 256 if (w > 256 and w % 256 == 0) else w
-    budget_bytes = 70_000_000
+    budget_bytes = peel_vmem_budget()
     bt = (budget_bytes // ((n + 1) * wc * 4)) // 8 * 8
     if bt < 8:
         # Even the minimum tile exceeds VMEM: raise here with the actual
@@ -135,14 +139,35 @@ def untile_wide(vt: jax.Array, b: int, n: int) -> jax.Array:
 def _make_kernel(
     *, n: int, k_stop: int, m: int, dmax: int, bt: int, max_iters: int,
     skip_idle: bool, cond_stores: bool, gf_order: int, serpentine: bool,
-    jacobi: bool, m_pad: int, interpret: bool, wc: int, w_chunks: int,
+    jacobi: bool, counted: bool, grouped: bool, ngroups: int, cmax: int,
+    m_blk8: int, m_rows: int, m_pad: int, static_topo, interpret: bool,
+    wc: int, w_chunks: int,
 ):
     n1 = n + 1
+    if static_topo is not None:
+        return _make_unrolled_kernel(
+            n=n, k_stop=k_stop, m=m, bt=bt, max_iters=max_iters,
+            gf_order=gf_order, topo=static_topo, interpret=interpret,
+            wc=wc, w_chunks=w_chunks,
+        )
     if jacobi:
         return _make_jacobi_kernel(
             n=n, k_stop=k_stop, m=m, m_pad=m_pad, dmax=dmax, bt=bt,
             max_iters=max_iters, gf_order=gf_order, interpret=interpret,
             wc=wc, w_chunks=w_chunks,
+        )
+    if counted:
+        return _make_counted_kernel(
+            n=n, k_stop=k_stop, m=m, dmax=dmax, bt=bt, max_iters=max_iters,
+            skip_idle=skip_idle, cond_stores=cond_stores, gf_order=gf_order,
+            cmax=cmax, m_blk8=m_blk8, m_rows=m_rows,
+            interpret=interpret, wc=wc, w_chunks=w_chunks,
+        )
+    if grouped:
+        return _make_grouped_kernel(
+            n=n, k_stop=k_stop, m=m, dmax=dmax, bt=bt, max_iters=max_iters,
+            skip_idle=skip_idle, gf_order=gf_order, ngroups=ngroups,
+            interpret=interpret, wc=wc, w_chunks=w_chunks,
         )
 
     def kernel(
@@ -157,6 +182,8 @@ def _make_kernel(
                     # the three at m=1000, over the 1 MB scoped-SMEM budget
                     # (only the m=510 code compiled); (dmax, m) costs
                     # dmax*pad128(m)*4 ≈ 29-61 KB for every shipped code.
+        clist_ref,  # (cmax, n1) int32 SMEM: checks adjacent to each symbol
+                    #   (counted schedule only; (1, 1) dummy here)
         vals_hbm,   # (ntiles, n1*bt, W) uint32 ANY (stays in HBM; manual DMA)
         emask_ref,  # (n1*bt, 1) int8 VMEM in (copy-in masking only)
         er_ref,     # (n1, bt) int32 VMEM in
@@ -240,26 +267,24 @@ def _make_kernel(
                         for s in range(dmax):
                             bv = ((coefs[s] >> bit) & 1).astype(jnp.uint32)
                             acc = acc ^ (rows[s] * bv)
-                conds = [
-                    (deg1 & (es[s] != 0)).astype(jnp.int32)
-                    for s in range(dmax)
-                ]  # per slot: this slot is the erased one
+                # conds[s]: this slot is the erased one. er flags are 0/1
+                # int32, so the test collapses to ONE multiply per slot
+                # (round 3: was cmp+and+cast — the per-visit op census in
+                # scripts/bench_boundedness.py showed the sweep is vector-
+                # op-ISSUE-bound, so every fused bookkeeping op is headline
+                # throughput). The first-k residual accounting moved out of
+                # the visit entirely: one (k_stop, bt) reduce per sweep end
+                # replaces ~2*dmax per-visit ops (exact same value — resid
+                # is only read at sweep end).
+                deg1_i = deg1.astype(jnp.int32)
+                conds = [deg1_i * es[s] for s in range(dmax)]
                 # One batched lane->sublane transpose for ALL slots' event
                 # flags (a per-slot (1,bt)->(bt,1) transpose is a cross-space
                 # shuffle costing ~as much as the 32KB tile store it guards;
-                # dmax of them dominated the eventful-check cost). Hoist the
-                # resid/changed accumulations out of the slot loop too: one
-                # vector RMW each instead of dmax apiece.
+                # dmax of them dominated the eventful-check cost).
                 conds_mat = jnp.concatenate(conds, axis=0)  # (dmax, bt)
                 conds_f = jnp.transpose(conds_mat)          # (bt, dmax)
-                dec = jnp.zeros_like(conds[0])
-                for s in range(dmax):
-                    in_k = jnp.where(
-                        idxs[s] < k_stop, jnp.int32(1), jnp.int32(0)
-                    )
-                    dec = dec + conds[s] * in_k
-                resid_scr[...] = resid_scr[...] - dec
-                changed_scr[...] = changed_scr[...] + deg1.astype(jnp.int32)
+                changed_scr[...] = changed_scr[...] + deg1_i
 
                 def slot_update(s):
                     condi = conds[s]
@@ -323,7 +348,13 @@ def _make_kernel(
                 # MATLAB forward-only schedule).
                 rev0 = (it % 2) if serpentine else 0
                 jax.lax.fori_loop(0, m, check_body, rev0)
-                resid = resid_scr[...]
+                # First-k residual recomputed once per sweep (one big
+                # sublane reduce) instead of per-visit decrements.
+                resid = jnp.sum(
+                    er_out[pl.ds(0, k_stop), :], axis=0, keepdims=True,
+                    dtype=jnp.int32,
+                )
+                resid_scr[...] = resid
                 prev = iters_out[...]
                 iters_out[...] = jnp.where(
                     (resid == 0) & (prev == 0), jnp.int32(it + 1), prev
@@ -394,6 +425,7 @@ def _make_jacobi_kernel(
         topo_ref,   # (dmax, m_pad) int32 SMEM, pad cols/slots = n
         coef_ref,   # (dmax, m_pad) int32 SMEM ((1, 1) dummy for binary)
         inv_ref,    # (dmax, m_pad) int32 SMEM ((1, 1) dummy for binary)
+        clist_ref,  # (1, 1) int32 SMEM dummy (counted schedule only)
         vals_hbm,   # (ntiles, n1*bt, W) uint32 ANY (manual DMA)
         emask_ref,  # (n1*bt, 1) int8 VMEM in
         er_ref,     # (n1, bt) int32 VMEM in
@@ -549,12 +581,595 @@ def _make_jacobi_kernel(
     return kernel
 
 
+def _make_counted_kernel(
+    *, n: int, k_stop: int, m: int, dmax: int, bt: int, max_iters: int,
+    skip_idle: bool, cond_stores: bool, gf_order: int, cmax: int,
+    m_blk8: int, m_rows: int, interpret: bool, wc: int, w_chunks: int,
+):
+    """Counted sequential sweep: the MATLAB Gauss-Seidel schedule (bit-exact,
+    iteration counts included) with the count phase inverted.
+
+    The plain sequential kernel recomputes every check's erasure count from
+    its dmax neighbor rows at every visit — dmax (~14 at the headline code)
+    tiny dynamic (1, bt) slices + adds per check per sweep, idle or not; the
+    builder's round-2 profiling pinned this count phase as the dominant
+    non-wide cost (~550 ns/visit). Here the counts are state, not derived:
+
+    * a (m_rows, bt) int32 count matrix is initialized ONCE per tile from an
+      XLA int8 matmul (``cnt0 = H @ er``, computed outside the kernel) and
+      updated *incrementally* — when check c resolves symbol v in some
+      frames, the count of every check adjacent to v (``clist_ref``, the
+      symbol->checks adjacency) drops by 1 in those frames. The degree-1
+      test collapses to ONE (1, bt) slice + compare per visit.
+    * checks that cannot fire this sweep are skipped without any vector
+      work: counts only decrease under peeling, so a check whose sweep-START
+      count is 0 in every tile frame can never become degree-1 mid-sweep
+      (VERDICT r2 next-round #1's semantics-exact skip). Per-sweep flags
+      ``any(cnt > 0)`` are reduced in one vector pass, DMA'd to SMEM, and
+      scanned in 8-check blocks as pure scalar loads + branches (the jacobi
+      kernel's scan machinery) — an idle check costs ~1 scalar load.
+    * checks that CAN fire run the exact sequential test on the live count
+      row (Gauss-Seidel: mid-sweep resolutions propagate within the sweep,
+      matching Matlab/My_LDPC_Erasure_Decoder.m:18-47 order exactly).
+
+    Fixed point, masks, values, AND iteration counts are identical to
+    ``schedule="seq"`` and the NumPy oracle (asserted in tests).
+    """
+    n1 = n + 1
+    nblk = m_blk8 // 8
+
+    def kernel(
+        topo_ref,   # (dmax, m) int32 SMEM, pad = n
+        coef_ref,   # (dmax, m) int32 SMEM ((1, 1) dummy for binary)
+        inv_ref,    # (dmax, m) int32 SMEM ((1, 1) dummy for binary)
+        clist_ref,  # (cmax, n1) int32 SMEM: checks adjacent to each symbol,
+                    #   pad = m_blk8 (the dummy count row)
+        vals_hbm,   # (ntiles, n1*bt, W) uint32 ANY (manual DMA)
+        emask_ref,  # (n1*bt, 1) int8 VMEM in
+        er_ref,     # (n1, bt) int32 VMEM in
+        resid_ref,  # (1, bt) int32 VMEM in
+        cnt0_ref,   # (m_rows, bt) int32 VMEM in: H @ er at decode start
+        vals_out,   # (n1*bt, W) uint32 VMEM out (working buffer)
+        er_out,     # (n1, bt) int32 VMEM out (working buffer)
+        iters_out,  # (1, bt) int32 VMEM out
+        resid_scr,  # (1, bt) int32 VMEM scratch
+        changed_scr,  # (1, bt) int32 VMEM scratch
+        cnt_scr,    # (m_rows, bt) int32 VMEM scratch: live per-check counts;
+                    #   rows m..m_blk8-1 stay 0, row m_blk8 is the dummy
+                    #   target for clist pad slots (garbage, never read)
+        chk_v,      # (m_blk8, 1) int32 VMEM scratch: per-check sweep flags
+        chk_smem,   # (m_blk8, 1) int32 SMEM: same flags for the scalar scan
+        flag_smem,  # (3,) int32 SMEM: [done, deg1_any, unused]
+        copy_sem,   # DMA semaphore (copy-in, then reused per sweep)
+    ):
+        # W-chunking: see the sequential kernel's copy-in note.
+        if w_chunks > 1:
+            wj = pl.multiple_of(pl.program_id(1) * wc, wc)
+            if interpret:
+                src = vals_hbm.at[pl.program_id(0), :, pl.ds(wj, wc)]
+            else:
+                src = vals_hbm.at[
+                    pl.ds(pl.program_id(0), 1), :, pl.ds(wj, wc)
+                ]
+        elif interpret:
+            src = vals_hbm.at[pl.program_id(0)]
+        else:
+            src = vals_hbm.at[pl.ds(pl.program_id(0), 1)]
+        cp = pltpu.make_async_copy(src, vals_out, copy_sem)
+        cp.start()
+        cp.wait()
+        vals_out[...] = jnp.where(
+            emask_ref[...] != 0, jnp.uint32(0), vals_out[...]
+        )
+        er_out[...] = er_ref[...]
+        resid_scr[...] = resid_ref[...]
+        cnt_scr[...] = cnt0_ref[...]
+        iters_out[...] = jnp.zeros((1, bt), jnp.int32)
+        flag_smem[0] = 0
+
+        def wide_work(c, deg1):
+            idxs = [topo_ref[s, c] for s in range(dmax)]
+            es = [er_out[pl.ds(idxs[s], 1), :] for s in range(dmax)]
+            offs = [pl.multiple_of(idxs[s] * bt, bt) for s in range(dmax)]
+            rows = [vals_out[pl.ds(o, bt), :] for o in offs]
+            if gf_order == 2:
+                acc = rows[0]
+                for s in range(1, dmax):
+                    acc = acc ^ rows[s]
+            else:
+                coefs = [coef_ref[s, c] for s in range(dmax)]
+                acc = jnp.zeros_like(rows[0])
+                for bit in range(7, -1, -1):
+                    if bit < 7:
+                        acc = _xtime(acc)
+                    for s in range(dmax):
+                        bv = ((coefs[s] >> bit) & 1).astype(jnp.uint32)
+                        acc = acc ^ (rows[s] * bv)
+            conds = [
+                (deg1 & (es[s] != 0)).astype(jnp.int32)
+                for s in range(dmax)
+            ]
+            conds_mat = jnp.concatenate(conds, axis=0)  # (dmax, bt)
+            conds_f = jnp.transpose(conds_mat)          # (bt, dmax)
+            dec = jnp.zeros_like(conds[0])
+            for s in range(dmax):
+                in_k = jnp.where(
+                    idxs[s] < k_stop, jnp.int32(1), jnp.int32(0)
+                )
+                dec = dec + conds[s] * in_k
+            resid_scr[...] = resid_scr[...] - dec
+            changed_scr[...] = changed_scr[...] + deg1.astype(jnp.int32)
+
+            def slot_update(s):
+                condi = conds[s]
+                er_out[pl.ds(idxs[s], 1), :] = es[s] - condi
+                # Incremental count maintenance: every check adjacent to the
+                # resolved symbol loses one erased neighbor in the resolved
+                # frames (clist pad slots decrement the dummy row).
+                for j in range(cmax):
+                    t = clist_ref[j, idxs[s]]
+                    cnt_scr[pl.ds(t, 1), :] = (
+                        cnt_scr[pl.ds(t, 1), :] - condi
+                    )
+                cond_f = conds_f[:, s : s + 1] != 0  # (bt, 1) frame space
+                if gf_order == 2:
+                    val = acc
+                else:
+                    val = _gf_mul_scalar(acc, inv_ref[s, c])
+                vals_out[pl.ds(offs[s], bt), :] = jnp.where(
+                    cond_f, val, rows[s]
+                )
+
+            if cond_stores:
+                # One vector->SMEM sync per fire gates ALL per-slot updates
+                # (er store + cmax count RMWs + value store) on the slot
+                # actually having an event in some frame: two chained
+                # reduces pack the dmax any-event bits into one scalar.
+                anyv = jnp.sum(conds_mat, axis=1, keepdims=True)  # (dmax, 1)
+                w2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (dmax, 1), 0
+                )
+                bits = jnp.sum(
+                    jnp.where(anyv > 0, jnp.int32(1) << w2, 0)
+                )
+                flag_smem[2] = bits
+                ev_bits = flag_smem[2]
+                for s in range(dmax):
+                    @pl.when(((ev_bits >> s) & 1) == 1)
+                    def _(s=s):
+                        slot_update(s)
+            else:
+                for s in range(dmax):
+                    slot_update(s)
+
+        def visit(c):
+            # Exact Gauss-Seidel degree-1 test on the LIVE count row
+            # (mid-sweep resolutions already reflected).
+            deg1 = cnt_scr[pl.ds(c, 1), :] == 1
+            if skip_idle:
+                flag_smem[1] = jnp.sum(deg1.astype(jnp.int32))
+
+                @pl.when(flag_smem[1] > 0)
+                def _():
+                    wide_work(c, deg1)
+            else:
+                wide_work(c, deg1)
+
+        def blk_body(blk, carry):
+            # Pure scalar skip logic over the sweep-start flags in SMEM: an
+            # idle 8-check block costs 8 scalar loads + one branch.
+            base = blk * 8
+            bsum = chk_smem[base, 0]
+            for j in range(1, 8):
+                bsum = bsum + chk_smem[base + j, 0]
+
+            @pl.when(bsum > 0)
+            def _():
+                for j in range(8):
+
+                    @pl.when(chk_smem[base + j, 0] > 0)
+                    def _(j=j):
+                        visit(base + j)
+
+            return carry
+
+        def sweep_body(it, carry):
+            @pl.when(flag_smem[0] == 0)
+            def _():
+                changed_scr[...] = jnp.zeros((1, bt), jnp.int32)
+                # Sweep-start flags: a check whose count is 0 in every frame
+                # cannot become degree-1 mid-sweep (counts only decrease) —
+                # skipping it is schedule-exact.
+                chk_v[...] = jnp.sum(
+                    (cnt_scr[pl.ds(0, m_blk8), :] > 0).astype(jnp.int32),
+                    axis=1, keepdims=True,
+                )
+                fcp = pltpu.make_async_copy(chk_v, chk_smem, copy_sem)
+                fcp.start()
+                fcp.wait()
+                jax.lax.fori_loop(0, nblk, blk_body, 0)
+                resid = resid_scr[...]
+                prev = iters_out[...]
+                iters_out[...] = jnp.where(
+                    (resid == 0) & (prev == 0), jnp.int32(it + 1), prev
+                )
+                ch = jnp.sum(changed_scr[...])
+                rs = jnp.sum(resid)
+                flag_smem[0] = jnp.where(
+                    (ch == 0) | (rs == 0), jnp.int32(1), jnp.int32(0)
+                )
+
+            return carry
+
+        jax.lax.fori_loop(0, max_iters, sweep_body, 0)
+
+    return kernel
+
+
+def static_topology(arrays) -> tuple:
+    """Concrete per-check topology tuples for ``schedule="unrolled"``.
+
+    Returns ``((idxs, coefs, invs), ...)`` — one entry per check, true
+    degree only (no pad slots), all Python ints — hashable, so it rides the
+    jit cache as a static argument. Must be built OUTSIDE any jit trace
+    (host values); works on a :class:`CodeArrays` (or anything exposing
+    vlist_idx / vlist_len / vlist_val / vlist_inv_val as concrete arrays).
+    """
+    import numpy as np
+
+    vi = np.asarray(arrays.vlist_idx)
+    vl = np.asarray(arrays.vlist_len)
+    vv = np.asarray(arrays.vlist_val)
+    iv = np.asarray(arrays.vlist_inv_val)
+    out = []
+    for c in range(vi.shape[0]):
+        d = int(vl[c])
+        out.append(
+            (
+                tuple(int(x) for x in vi[c, :d]),
+                tuple(int(x) for x in vv[c, :d]),
+                tuple(int(x) for x in iv[c, :d]),
+            )
+        )
+    return tuple(out)
+
+
+def _gf_mul_const(v, coef: int):
+    """Packed GF(256) multiply by a COMPILE-TIME constant coefficient:
+    only the set bits of ``coef`` emit ops."""
+    acc = None
+    cur = v
+    for i in range(8):
+        if (coef >> i) & 1:
+            acc = cur if acc is None else acc ^ cur
+        if i < 7 and (coef >> (i + 1)):
+            cur = _xtime(cur)
+    return jnp.zeros_like(v) if acc is None else acc
+
+
+def _make_unrolled_kernel(
+    *, n: int, k_stop: int, m: int, bt: int, max_iters: int, gf_order: int,
+    topo: tuple, interpret: bool, wc: int, w_chunks: int,
+):
+    """Fully-unrolled constant-topology sequential sweep — the round-3
+    production schedule (522.8 Gbps at the headline point vs 341 for the
+    dynamic-index kernel; bit-exact vs the oracle, iteration counts
+    included).
+
+    Every structural experiment on the dynamic kernel (counted incremental
+    counts, grouped load-hoisting, cond_stores, jacobi detection) measured
+    NEGATIVE: with runtime topology the compiler must serialize every
+    dynamic-slice load against every prior dynamic store (aliasing is
+    undecidable), so each of the ~147k check-visits per step costs ~440 ns
+    of serialization no matter how few ops it contains. Baking the Vlist
+    into the program as CONSTANT slice offsets makes aliasing decidable —
+    Mosaic pipelines independent visits — and deletes every SMEM index load
+    and pad slot (true degrees only). Two prices, both measured fine: one
+    Mosaic compile per (code, shape) (~70 s at m=510; cached by jit), and a
+    register-pressure ceiling handled by fencing the unrolled visits into
+    8-check predicated blocks (the unfenced version spilled 97 MB of vregs).
+
+    GF(256): the per-check Horner runs over compile-time coefficient bits —
+    only set bits emit ops (~half the multiply work of the runtime kernel).
+    """
+    n1 = n + 1
+    BLK = 8
+
+    def kernel(
+        topo_ref,   # (1, 1) dummies — topology is baked into the program
+        coef_ref,
+        inv_ref,
+        aux_ref,
+        vals_hbm,   # (ntiles, n1*bt, W) uint32 ANY (manual DMA)
+        emask_ref,  # (n1*bt, 1) int8 VMEM in
+        er_ref,     # (n1, bt) int32 VMEM in
+        resid_ref,  # (1, bt) int32 VMEM in
+        vals_out,   # (n1*bt, W) uint32 VMEM out (working buffer)
+        er_out,     # (n1, bt) int32 VMEM out (working buffer)
+        iters_out,  # (1, bt) int32 VMEM out
+        resid_scr,  # (1, bt) int32 VMEM scratch
+        changed_scr,  # (1, bt) int32 VMEM scratch
+        flag_smem,  # (3,) int32 SMEM
+        copy_sem,   # DMA semaphore
+    ):
+        if w_chunks > 1:
+            wj = pl.multiple_of(pl.program_id(1) * wc, wc)
+            if interpret:
+                src = vals_hbm.at[pl.program_id(0), :, pl.ds(wj, wc)]
+            else:
+                src = vals_hbm.at[
+                    pl.ds(pl.program_id(0), 1), :, pl.ds(wj, wc)
+                ]
+        elif interpret:
+            src = vals_hbm.at[pl.program_id(0)]
+        else:
+            src = vals_hbm.at[pl.ds(pl.program_id(0), 1)]
+        cp = pltpu.make_async_copy(src, vals_out, copy_sem)
+        cp.start()
+        cp.wait()
+        vals_out[...] = jnp.where(
+            emask_ref[...] != 0, jnp.uint32(0), vals_out[...]
+        )
+        er_out[...] = er_ref[...]
+        iters_out[...] = jnp.zeros((1, bt), jnp.int32)
+        flag_smem[0] = 0
+
+        def visit(c):
+            idxs, coefs, invs = topo[c]
+            d = len(idxs)
+            es = [er_out[i : i + 1, :] for i in idxs]
+            cnt = es[0]
+            for s in range(1, d):
+                cnt = cnt + es[s]
+            deg1_i = (cnt == 1).astype(jnp.int32)
+            rows = [vals_out[i * bt : (i + 1) * bt, :] for i in idxs]
+            if gf_order == 2:
+                acc = rows[0]
+                for s in range(1, d):
+                    acc = acc ^ rows[s]
+            else:
+                # Shared Horner over compile-time coefficient bits.
+                acc = jnp.zeros_like(rows[0])
+                for bit in range(7, -1, -1):
+                    if bit < 7:
+                        if all((cf >> (bit + 1)) == 0 for cf in coefs):
+                            pass  # no higher bits anywhere: acc still zero
+                        else:
+                            acc = _xtime(acc)
+                    for s in range(d):
+                        if (coefs[s] >> bit) & 1:
+                            acc = acc ^ rows[s]
+            conds = [deg1_i * es[s] for s in range(d)]
+            conds_f = jnp.transpose(jnp.concatenate(conds, axis=0))
+            changed_scr[...] = changed_scr[...] + deg1_i
+            for s, i in enumerate(idxs):
+                er_out[i : i + 1, :] = es[s] - conds[s]
+                cond_f = conds_f[:, s : s + 1] != 0
+                if gf_order == 2:
+                    val = acc
+                else:
+                    val = _gf_mul_const(acc, invs[s])
+                vals_out[i * bt : (i + 1) * bt, :] = jnp.where(
+                    cond_f, val, rows[s]
+                )
+
+        def sweep_body(it, carry):
+            @pl.when(flag_smem[0] == 0)
+            def _():
+                changed_scr[...] = jnp.zeros((1, bt), jnp.int32)
+                # Constant-address visits, fenced into BLK-check predicated
+                # regions: the predicate is dynamically opaque but always
+                # true inside an active sweep, bounding the scheduler's
+                # (now alias-free) hoisting window so it cannot blow the
+                # register file.
+                for b0 in range(0, m, BLK):
+
+                    @pl.when(flag_smem[0] < 1 + it)
+                    def _(b0=b0):
+                        for c in range(b0, min(b0 + BLK, m)):
+                            visit(c)
+
+                resid = jnp.sum(
+                    er_out[pl.ds(0, k_stop), :], axis=0, keepdims=True,
+                    dtype=jnp.int32,
+                )
+                resid_scr[...] = resid
+                prev = iters_out[...]
+                iters_out[...] = jnp.where(
+                    (resid == 0) & (prev == 0), jnp.int32(it + 1), prev
+                )
+                ch = jnp.sum(changed_scr[...])
+                flag_smem[0] = jnp.where(
+                    (ch == 0) | (jnp.sum(resid) == 0),
+                    jnp.int32(1),
+                    jnp.int32(0),
+                )
+
+            return carry
+
+        jax.lax.fori_loop(0, max_iters, sweep_body, 0)
+
+    return kernel
+
+
+def _make_grouped_kernel(
+    *, n: int, k_stop: int, m: int, dmax: int, bt: int, max_iters: int,
+    skip_idle: bool, gf_order: int, ngroups: int, interpret: bool,
+    wc: int, w_chunks: int,
+):
+    """Grouped sequential sweep: the exact MATLAB Gauss-Seidel schedule with
+    the visit loop restructured for ILP.
+
+    The boundedness experiment (scripts/bench_boundedness.py) showed the
+    sweep is op-issue/latency-bound, not VMEM-bandwidth-bound: halving the
+    wide bytes (W=128 vs 256) barely moves the step time, and each check
+    visit's ~30 stores serialize against the next visit's ~28 loads (the
+    compiler cannot disprove aliasing of dynamic slices). Fix: the host
+    groups CONSECUTIVE checks into pairwise-DISJOINT runs of <= 4
+    (``CodeArrays.check_groups``). Disjoint checks commute under the
+    sequential sweep — none reads or writes another's symbols — so the
+    whole group's er/value loads are issued BEFORE any member's stores,
+    giving the hardware up to 4 independent visit pipelines while computing
+    the bit-identical result (values, masks, iteration counts) of the plain
+    sequential order. Group padding slots point at the dummy check m (all
+    pad-column neighbors) and are skipped by a scalar compare.
+    """
+    n1 = n + 1
+    gsz = 4
+
+    def kernel(
+        topo_ref,   # (dmax, m+1) int32 SMEM, pad = n; col m = dummy check
+        coef_ref,   # (dmax, m+1) int32 SMEM ((1, 1) dummy for binary)
+        inv_ref,    # (dmax, m+1) int32 SMEM ((1, 1) dummy for binary)
+        grp_ref,    # (4, ngroups) int32 SMEM: grouped check ids, pad = m
+        vals_hbm,   # (ntiles, n1*bt, W) uint32 ANY (manual DMA)
+        emask_ref,  # (n1*bt, 1) int8 VMEM in
+        er_ref,     # (n1, bt) int32 VMEM in
+        resid_ref,  # (1, bt) int32 VMEM in
+        vals_out,   # (n1*bt, W) uint32 VMEM out (working buffer)
+        er_out,     # (n1, bt) int32 VMEM out (working buffer)
+        iters_out,  # (1, bt) int32 VMEM out
+        resid_scr,  # (1, bt) int32 VMEM scratch
+        changed_scr,  # (1, bt) int32 VMEM scratch
+        flag_smem,  # (3,) int32 SMEM
+        copy_sem,   # DMA semaphore
+    ):
+        if w_chunks > 1:
+            wj = pl.multiple_of(pl.program_id(1) * wc, wc)
+            if interpret:
+                src = vals_hbm.at[pl.program_id(0), :, pl.ds(wj, wc)]
+            else:
+                src = vals_hbm.at[
+                    pl.ds(pl.program_id(0), 1), :, pl.ds(wj, wc)
+                ]
+        elif interpret:
+            src = vals_hbm.at[pl.program_id(0)]
+        else:
+            src = vals_hbm.at[pl.ds(pl.program_id(0), 1)]
+        cp = pltpu.make_async_copy(src, vals_out, copy_sem)
+        cp.start()
+        cp.wait()
+        vals_out[...] = jnp.where(
+            emask_ref[...] != 0, jnp.uint32(0), vals_out[...]
+        )
+        er_out[...] = er_ref[...]
+        resid_scr[...] = resid_ref[...]
+        iters_out[...] = jnp.zeros((1, bt), jnp.int32)
+        flag_smem[0] = 0
+
+        def group_body(j, carry):
+            cs = [grp_ref[a, j] for a in range(gsz)]
+            idxs = [
+                [topo_ref[s, cs[a]] for s in range(dmax)] for a in range(gsz)
+            ]
+            # ALL group loads before ANY member's stores: members are
+            # pairwise disjoint, so every load still sees the exact
+            # just-before-its-check state.
+            es = [
+                [er_out[pl.ds(idxs[a][s], 1), :] for s in range(dmax)]
+                for a in range(gsz)
+            ]
+            offs = [
+                [pl.multiple_of(idxs[a][s] * bt, bt) for s in range(dmax)]
+                for a in range(gsz)
+            ]
+            rows = [
+                [vals_out[pl.ds(o, bt), :] for o in offs[a]]
+                for a in range(gsz)
+            ]
+
+            for a in range(gsz):
+                cnt = es[a][0]
+                for s in range(1, dmax):
+                    cnt = cnt + es[a][s]
+                deg1 = cnt == 1
+
+                def work(a=a, deg1=deg1):
+                    if gf_order == 2:
+                        acc = rows[a][0]
+                        for s in range(1, dmax):
+                            acc = acc ^ rows[a][s]
+                    else:
+                        coefs = [coef_ref[s, cs[a]] for s in range(dmax)]
+                        acc = jnp.zeros_like(rows[a][0])
+                        for bit in range(7, -1, -1):
+                            if bit < 7:
+                                acc = _xtime(acc)
+                            for s in range(dmax):
+                                bv = ((coefs[s] >> bit) & 1).astype(
+                                    jnp.uint32
+                                )
+                                acc = acc ^ (rows[a][s] * bv)
+                    conds = [
+                        (deg1 & (es[a][s] != 0)).astype(jnp.int32)
+                        for s in range(dmax)
+                    ]
+                    conds_mat = jnp.concatenate(conds, axis=0)
+                    conds_f = jnp.transpose(conds_mat)  # (bt, dmax)
+                    dec = jnp.zeros_like(conds[0])
+                    for s in range(dmax):
+                        in_k = jnp.where(
+                            idxs[a][s] < k_stop, jnp.int32(1), jnp.int32(0)
+                        )
+                        dec = dec + conds[s] * in_k
+                    resid_scr[...] = resid_scr[...] - dec
+                    changed_scr[...] = (
+                        changed_scr[...] + deg1.astype(jnp.int32)
+                    )
+                    for s in range(dmax):
+                        er_out[pl.ds(idxs[a][s], 1), :] = es[a][s] - conds[s]
+                        cond_f = conds_f[:, s : s + 1] != 0
+                        if gf_order == 2:
+                            val = acc
+                        else:
+                            val = _gf_mul_scalar(acc, inv_ref[s, cs[a]])
+                        vals_out[pl.ds(offs[a][s], bt), :] = jnp.where(
+                            cond_f, val, rows[a][s]
+                        )
+
+                if skip_idle:
+                    flag_smem[1] = jnp.sum(deg1.astype(jnp.int32))
+
+                    @pl.when((cs[a] < m) & (flag_smem[1] > 0))
+                    def _():
+                        work()
+                else:
+                    # Scalar compare skips group-padding slots entirely.
+                    @pl.when(cs[a] < m)
+                    def _():
+                        work()
+
+            return carry
+
+        def sweep_body(it, carry):
+            @pl.when(flag_smem[0] == 0)
+            def _():
+                changed_scr[...] = jnp.zeros((1, bt), jnp.int32)
+                jax.lax.fori_loop(0, ngroups, group_body, 0)
+                resid = resid_scr[...]
+                prev = iters_out[...]
+                iters_out[...] = jnp.where(
+                    (resid == 0) & (prev == 0), jnp.int32(it + 1), prev
+                )
+                ch = jnp.sum(changed_scr[...])
+                rs = jnp.sum(resid)
+                flag_smem[0] = jnp.where(
+                    (ch == 0) | (rs == 0), jnp.int32(1), jnp.int32(0)
+                )
+
+            return carry
+
+        jax.lax.fori_loop(0, max_iters, sweep_body, 0)
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "max_iters", "early_stop_k", "b_tile", "skip_idle",
         "cond_stores", "gf_order", "serpentine", "schedule", "tiled",
-        "interpret", "w_chunk",
+        "interpret", "w_chunk", "static_topo",
     ),
 )
 def peel_decode_vmem(
@@ -565,7 +1180,7 @@ def peel_decode_vmem(
     max_iters: int = 50,
     early_stop_k: int | None = None,
     b_tile: int = 8,
-    skip_idle: bool = True,
+    skip_idle: bool = False,
     cond_stores: bool | None = None,
     gf_order: int = 2,
     serpentine: bool = False,
@@ -573,6 +1188,7 @@ def peel_decode_vmem(
     tiled: bool = False,
     interpret: bool = False,
     w_chunk: int = 0,
+    static_topo: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """VMEM-resident peeling decode; sequential (MATLAB) schedule.
 
@@ -607,6 +1223,13 @@ def peel_decode_vmem(
         working buffer): b_tile=16, W=256, n=2040 → ~67 MB of the chip's
         128 MB; b_tile=32 fits single-buffered. b_tile=32 measured best
         at the headline shape (177 Gbps vs 142 at bt=16 on v5e).
+      skip_idle: gate each check's wide work on a per-visit degree-1-any
+        test (one (1, bt) reduce + scalar branch). MEASURED NEGATIVE at the
+        event-dense production points on v5e (round 3: 75.1 vs 78.3 ms/step
+        at the headline shape — the vector->scalar sync costs more than the
+        skipped wide work; converged tiles already stop at the sweep level),
+        so the default flipped to False in round 3. Useful only for
+        mostly-idle regimes with many sweeps.
       serpentine: odd sweeps run the check loop high-to-low. Same fixed
         point (schedule-invariant); iteration counts differ from the
         forward-only MATLAB schedule. MEASURED NEGATIVE at the headline
@@ -617,6 +1240,12 @@ def peel_decode_vmem(
         research knob.
       schedule: ``"seq"`` (default) runs the MATLAB sequential Gauss-Seidel
         sweep (bit-exact vs the oracle, iteration counts included);
+        ``"counted"`` runs the SAME schedule (bit-exact, iteration counts
+        included) with the count phase inverted: live per-check counts
+        maintained incrementally via the symbol->checks adjacency (one
+        (1, bt) slice per visit instead of dmax) and sweep-start ``cnt == 0``
+        checks skipped with pure scalar branches (sound under monotone
+        erasures — see ``_make_counted_kernel``);
         ``"jacobi"`` detects degree-1 checks from sweep-start counts
         computed in ONE MXU matmul per sweep and scans them in 8-check
         blocks — the idle-check cost drops ~27x, at the price of the
@@ -699,12 +1328,35 @@ def peel_decode_vmem(
         # for more than the skipped stores / inverse multiplies cost. Kept
         # as a research knob.
         cond_stores = False
-    if schedule not in ("seq", "jacobi"):
-        raise ValueError(f"schedule must be 'seq' or 'jacobi', got {schedule!r}")
+    if schedule not in ("seq", "unrolled", "counted", "grouped", "jacobi"):
+        raise ValueError(
+            "schedule must be 'seq', 'unrolled', 'counted', 'grouped' or "
+            f"'jacobi', got {schedule!r}"
+        )
     jacobi = schedule == "jacobi"
-    if jacobi and serpentine:
-        raise ValueError("serpentine applies to the sequential schedule only")
+    counted = schedule == "counted"
+    grouped = schedule == "grouped"
+    unrolled = schedule == "unrolled"
+    if unrolled:
+        if static_topo is None:
+            raise ValueError(
+                "schedule='unrolled' needs static_topo="
+                "pallas_peel.static_topology(arrays) resolved OUTSIDE jit "
+                "(the constant-topology program cannot be built from traced "
+                "arrays)"
+            )
+        if len(static_topo) != m:
+            raise ValueError(
+                f"static_topo has {len(static_topo)} checks, code has {m}"
+            )
+    elif static_topo is not None:
+        raise ValueError("static_topo only applies to schedule='unrolled'")
+    if (jacobi or counted or grouped or unrolled) and serpentine:
+        raise ValueError("serpentine applies to the plain sequential schedule")
     m_pad = -(-m // 8) * 8 if jacobi else m
+    m_blk8 = -(-m // 8) * 8
+    m_rows = m_blk8 + 8  # row m_blk8 = dummy decrement target for clist pads
+    cmax = int(arrays.clist_idx.shape[1])
 
     packed_nb = gf_order == 256
     if packed_nb and not tiled:
@@ -748,10 +1400,14 @@ def peel_decode_vmem(
         epad[:, :k_stop], axis=1, dtype=jnp.int32
     ).reshape(ntiles, 1, bt)
 
+    ngroups = int(arrays.check_groups.shape[0])
     kernel = _make_kernel(
         n=n, k_stop=k_stop, m=m, dmax=dmax, bt=bt, max_iters=max_iters,
         skip_idle=skip_idle, cond_stores=cond_stores, gf_order=gf_order,
-        serpentine=serpentine, jacobi=jacobi, m_pad=m_pad,
+        serpentine=serpentine, jacobi=jacobi, counted=counted,
+        grouped=grouped, ngroups=ngroups, cmax=cmax,
+        m_blk8=m_blk8, m_rows=m_rows, m_pad=m_pad,
+        static_topo=static_topo if unrolled else None,
         interpret=interpret, wc=wc, w_chunks=w_chunks,
     )
     # The big values operand stays in HBM (manual DMA straight into the
@@ -760,27 +1416,31 @@ def peel_decode_vmem(
     # double-buffers the output; drop those to single buffering (compute >>
     # copy time at these shapes, so the lost overlap is negligible).
     vals_bytes = n1 * bt * wc * 4
-    nbuf = 2 if 2 * vals_bytes <= 96 * 1024 * 1024 else 1
+    from ldpc_erasure_codes_tpu.utils.device import kernel_vmem_limit
+    dbl_budget = kernel_vmem_limit() - 16 * 1024 * 1024  # 96 MiB on v5e
+    nbuf = 2 if 2 * vals_bytes <= dbl_budget else 1
     big_mode = None if nbuf == 2 else pl.Buffered(buffer_count=1)
     # Flat ceiling: the kernel's true footprint is nbuf*vals_bytes plus the
     # lane-padded small operands (the (X, 1) emask sidecar pads to 128
     # lanes); a tight per-shape bound buys nothing and under-estimating it
-    # kills the compile.
-    vmem_limit = 112 * 1024 * 1024
+    # kills the compile. 7/8 of the generation's VMEM (112 MiB on v5e).
+    from ldpc_erasure_codes_tpu.utils.device import kernel_vmem_limit
+
+    vmem_limit = kernel_vmem_limit()
     # With W-chunking the grid grows a minor chunk axis: the mask-side
     # blocks ignore it (same block revisited for consecutive j — fetched
     # once, copied out after the last chunk; every chunk writes identical
     # mask results), only the values output indexes it.
     if w_chunks > 1:
         grid = (ntiles, w_chunks)
-        map_tile = lambda i, j, topo, cf, iv: (i, 0, 0)
-        map_const = lambda i, j, topo, cf, iv: (0, 0)
-        map_vals = lambda i, j, topo, cf, iv: (i, 0, j)
+        map_tile = lambda i, j, topo, cf, iv, cl: (i, 0, 0)
+        map_const = lambda i, j, topo, cf, iv, cl: (0, 0)
+        map_vals = lambda i, j, topo, cf, iv, cl: (i, 0, j)
     else:
         grid = (ntiles,)
-        map_tile = lambda i, topo, cf, iv: (i, 0, 0)
-        map_const = lambda i, topo, cf, iv: (0, 0)
-        map_vals = lambda i, topo, cf, iv: (i, 0, 0)
+        map_tile = lambda i, topo, cf, iv, cl: (i, 0, 0)
+        map_const = lambda i, topo, cf, iv, cl: (0, 0)
+        map_vals = lambda i, topo, cf, iv, cl: (i, 0, 0)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(
@@ -818,6 +1478,22 @@ def peel_decode_vmem(
             pltpu.VMEM((m_pad, 1), jnp.int32),
             pltpu.SMEM((m_pad, 1), jnp.int32),
         ]
+    elif counted:
+        # Initial per-check counts (H @ er, computed by XLA outside) + the
+        # live count matrix and sweep-flag scratches.
+        in_specs.append(
+            pl.BlockSpec(
+                (None, m_rows, bt), map_tile,
+                memory_space=pltpu.VMEM,
+            )
+        )
+        scratch_shapes = [
+            pltpu.VMEM((1, bt), jnp.int32),
+            pltpu.VMEM((1, bt), jnp.int32),
+            pltpu.VMEM((m_rows, bt), jnp.int32),
+            pltpu.VMEM((m_blk8, 1), jnp.int32),
+            pltpu.SMEM((m_blk8, 1), jnp.int32),
+        ]
     else:
         scratch_shapes = [
             pltpu.VMEM((1, bt), jnp.int32),
@@ -828,7 +1504,7 @@ def peel_decode_vmem(
         pltpu.SemaphoreType.DMA,
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
@@ -847,15 +1523,48 @@ def peel_decode_vmem(
         ),
         scratch_shapes=scratch_shapes,
     )
-    topo_t = arrays.vlist_idx.T
-    if gf_order == 2:
-        # Coefficients are never read on the binary path — 1x1 dummies keep
-        # their SMEM slots negligible.
-        coef_t = inv_t = jnp.zeros((1, 1), jnp.int32)
+    if unrolled:
+        # Topology (and GF coefficients) are baked into the program as
+        # constants; all four prefetch slots shrink to 1x1 dummies.
+        topo_t = coef_t = inv_t = jnp.zeros((1, 1), jnp.int32)
     else:
-        coef_t = arrays.vlist_val.astype(jnp.int32).T
-        inv_t = arrays.vlist_inv_val.astype(jnp.int32).T
+        topo_t = arrays.vlist_idx.T
+        if gf_order == 2:
+            # Coefficients are never read on the binary path — 1x1 dummies
+            # keep their SMEM slots negligible.
+            coef_t = inv_t = jnp.zeros((1, 1), jnp.int32)
+        else:
+            coef_t = arrays.vlist_val.astype(jnp.int32).T
+            inv_t = arrays.vlist_inv_val.astype(jnp.int32).T
+    if grouped:
+        # Dummy check column m: all neighbors = the pad symbol (never fires;
+        # group-padding slots also scalar-skip before any vector work).
+        topo_t = jnp.pad(topo_t, ((0, 0), (0, 1)), constant_values=n)
+        if gf_order != 2:
+            coef_t = jnp.pad(coef_t, ((0, 0), (0, 1)))
+            inv_t = jnp.pad(inv_t, ((0, 0), (0, 1)))
+    if counted:
+        # Symbol->checks adjacency, transposed like the other SMEM tables;
+        # pad slots retarget from m to the kernel's dummy count row.
+        cl = arrays.clist_idx.T.astype(jnp.int32)
+        clist_t = jnp.where(cl >= m, jnp.int32(m_blk8), cl)
+        # Pad column n (the shared zero pad symbol) also hits the dummy row.
+        clist_t = jnp.pad(clist_t, ((0, 0), (0, 1)), constant_values=m_blk8)
+    elif grouped:
+        # The aux prefetch slot carries the grouped check ids instead.
+        clist_t = arrays.check_groups.T.astype(jnp.int32)
+    else:
+        clist_t = jnp.zeros((1, 1), jnp.int32)
     operands = [vt, emask, et, resid]
+    if counted:
+        # Initial counts cnt0 = H @ er per tile (int8 MXU, fused by XLA into
+        # the surrounding layout work; counts <= dmax fit comfortably).
+        hp = jnp.pad(arrays.h.astype(jnp.int8), ((0, m_rows - m), (0, 1)))
+        cnt0 = jnp.einsum(
+            "mn,tnb->tmb", hp, et.astype(jnp.int8),
+            preferred_element_type=jnp.int32,
+        )
+        operands.append(cnt0)
     if jacobi:
         if m_pad > m:
             # Pad checks: topology points at the always-unerased pad slot,
@@ -898,6 +1607,7 @@ def peel_decode_vmem(
         topo_t,
         coef_t,
         inv_t,
+        clist_t,
         *operands,
     )
 

@@ -33,16 +33,19 @@ def _make_case(code, b, w, per, seed):
     return arrays, cw, recv, mask
 
 
-@pytest.mark.parametrize("bt", [4, 8])
-def test_matches_oracle_bit_exact(bt):
+@pytest.mark.parametrize("bt,schedule", [(4, "seq"), (8, "seq"),
+                                         (4, "counted"), (8, "counted")])
+def test_matches_oracle_bit_exact(bt, schedule):
     """Values, residual mask, AND iteration counts equal the oracle's
-    sequential sweep on every frame."""
+    sequential sweep on every frame (both sequential-schedule kernels:
+    plain and counted)."""
     code = gen_row_wise([(16, 6)], [(48, 2)], seed=3, max_tries=40,
                         strict_tries=4)
     b, w, per = 8, 2, 0.25
     arrays, cw, recv, mask = _make_case(code, b, w, per, seed=0)
     v, e, iters = peel_decode_vmem(
-        arrays, recv, mask, max_iters=50, b_tile=bt, interpret=True
+        arrays, recv, mask, max_iters=50, b_tile=bt, schedule=schedule,
+        interpret=True,
     )
     v, e, iters = map(np.asarray, (v, e, iters))
     cw_np, mask_np = np.asarray(cw), np.asarray(mask)
@@ -59,6 +62,151 @@ def test_matches_oracle_bit_exact(bt):
             v[f][~e[f]], cw_np[f][~e[f]], err_msg=f"frame {f} values"
         )
         assert iters[f] == o_iters, f"frame {f}: {iters[f]} vs {o_iters}"
+
+
+def test_counted_equals_seq_everywhere():
+    """schedule="counted" is the SAME schedule as "seq" (incremental counts
+    + sound sweep-start skips): values, masks, and iteration counts must be
+    bitwise identical across early-stop, tiled I/O, W-chunking, and GF(256)
+    modes on the production code."""
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import tile_wide
+
+    code = get_code("n2040_k1530")
+    b, w, per = 6, 8, 0.1406
+    arrays, cw, recv, mask = _make_case(code, b, w, per, seed=5)
+
+    for kw in (
+        dict(),
+        dict(early_stop_k=code.k),
+        dict(early_stop_k=code.k, w_chunk=4),
+    ):
+        o1 = peel_decode_vmem(
+            arrays, recv, mask, max_iters=50, b_tile=2, schedule="seq",
+            interpret=True, **kw,
+        )
+        o2 = peel_decode_vmem(
+            arrays, recv, mask, max_iters=50, b_tile=2, schedule="counted",
+            interpret=True, **kw,
+        )
+        for x, y, nm in zip(o1, o2, ("values", "mask", "iters")):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), err_msg=f"{kw} {nm}"
+            )
+
+    # Tiled I/O contract.
+    vt = tile_wide(recv, 2)
+    o1 = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, b_tile=2, schedule="counted",
+        interpret=True,
+    )
+    o2 = peel_decode_vmem(
+        arrays, vt, mask, max_iters=50, b_tile=2, schedule="counted",
+        tiled=True, interpret=True,
+    )
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import untile_wide
+
+    np.testing.assert_array_equal(
+        np.asarray(o1[0]), np.asarray(untile_wide(o2[0], b, code.n))
+    )
+    np.testing.assert_array_equal(np.asarray(o1[1]), np.asarray(o2[1]))
+    np.testing.assert_array_equal(np.asarray(o1[2]), np.asarray(o2[2]))
+
+
+def test_unrolled_matches_oracle_and_seq():
+    """schedule="unrolled" (constant-topology program, the round-3
+    production schedule) == seq bit-exactly: values, masks, iteration
+    counts, early-stop, tiled I/O, and GF(256)."""
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import (
+        static_topology,
+        tile_wide,
+        untile_wide,
+    )
+
+    code = gen_row_wise([(16, 6)], [(48, 2)], seed=3, max_tries=40,
+                        strict_tries=4)
+    arrays, cw, recv, mask = _make_case(code, 8, 2, 0.25, seed=0)
+    topo = static_topology(arrays)
+    for kw in (dict(), dict(early_stop_k=code.k)):
+        o1 = peel_decode_vmem(
+            arrays, recv, mask, max_iters=50, b_tile=4, schedule="seq",
+            interpret=True, **kw,
+        )
+        o2 = peel_decode_vmem(
+            arrays, recv, mask, max_iters=50, b_tile=4, schedule="unrolled",
+            static_topo=topo, interpret=True, **kw,
+        )
+        for x, y, nm in zip(o1, o2, ("values", "mask", "iters")):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), err_msg=f"{kw} {nm}"
+            )
+    # Tiled I/O contract.
+    b, n = mask.shape
+    vt = tile_wide(recv, 4)
+    o3 = peel_decode_vmem(
+        arrays, vt, mask, max_iters=50, b_tile=4, schedule="unrolled",
+        static_topo=topo, tiled=True, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o2[0]), np.asarray(untile_wide(o3[0], b, n))
+    )
+    # Missing/mismatched static_topo must fail loudly.
+    with pytest.raises(ValueError):
+        peel_decode_vmem(
+            arrays, recv, mask, b_tile=4, schedule="unrolled", interpret=True
+        )
+    with pytest.raises(ValueError):
+        peel_decode_vmem(
+            arrays, recv, mask, b_tile=4, schedule="seq", static_topo=topo,
+            interpret=True,
+        )
+
+
+def test_unrolled_nb_equals_seq():
+    """GF(256) unrolled schedule (compile-time Horner bits) == seq."""
+    from ldpc_erasure_codes_tpu.codes import toy_code
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import static_topology
+
+    code = toy_code(n=96, k=64, seed=3, gf_order=256)
+    arrays = device_arrays(code)
+    key = jax.random.key(12)
+    b, w = 4, 8
+    src = jax.random.randint(key, (b, code.k, w), 0, 256, dtype=jnp.uint8)
+    cw = encode_packed(arrays, src, gf_order=256)
+    mask = jax.random.uniform(jax.random.fold_in(key, 1), (b, code.n)) < 0.12
+    recv = jnp.where(mask[:, :, None], jnp.uint8(0), cw)
+    topo = static_topology(arrays)
+    o1 = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, b_tile=2, gf_order=256,
+        schedule="seq", interpret=True,
+    )
+    o2 = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, b_tile=2, gf_order=256,
+        schedule="unrolled", static_topo=topo, interpret=True,
+    )
+    for x, y, nm in zip(o1, o2, ("values", "mask", "iters")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=nm)
+
+
+def test_counted_nb_equals_seq():
+    """GF(256) counted schedule == seq schedule bit-exactly."""
+    code = get_code("n2040_k1530_gf256")
+    arrays = device_arrays(code)
+    key = jax.random.key(11)
+    b, w = 4, 8
+    src = jax.random.randint(key, (b, code.k, w), 0, 256, dtype=jnp.uint8)
+    cw = encode_packed(arrays, src, gf_order=256)
+    mask = jax.random.uniform(jax.random.fold_in(key, 1), (b, code.n)) < 0.14
+    recv = jnp.where(mask[:, :, None], jnp.uint8(0), cw)
+    o1 = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, b_tile=2, gf_order=256,
+        schedule="seq", interpret=True,
+    )
+    o2 = peel_decode_vmem(
+        arrays, recv, mask, max_iters=50, b_tile=2, gf_order=256,
+        schedule="counted", interpret=True,
+    )
+    for x, y, nm in zip(o1, o2, ("values", "mask", "iters")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=nm)
 
 
 def test_fixed_point_matches_jacobi_xla():
