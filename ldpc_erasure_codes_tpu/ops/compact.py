@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
-from ldpc_erasure_codes_tpu.ops.ge import ge_rank_check, ge_solve
+from ldpc_erasure_codes_tpu.ops.ge import ge_rank_check, ge_solve, ge_solve_packed
 
 
 def residual_order(erased: jax.Array, f_max: int) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -63,15 +63,34 @@ def compact_ge_solve(
     emax: int,
     f_max: int,
     gf_order: int = 2,
+    ge_impl: str = "auto",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """``ge_solve`` on the residual sub-batch; scatters solved values back.
 
-    Same contract as ge_solve: returns (values, erased, failed)."""
+    Same contract as ge_solve: returns (values, erased, failed). ``ge_impl``:
+    ``"auto"`` picks the packed-bit elimination (:func:`ge_solve_packed`,
+    ~10x less per-pivot HBM traffic + MXU value apply) for wide binary
+    uint32 frames and the byte path otherwise; ``"bytes"`` forces the
+    original formulation."""
     b = erased.shape[0]
     sel, is_resid, overflow = residual_order(erased, f_max)
-    v_sub, e_sub, failed_sub = ge_solve(
-        arrays, values[sel], erased[sel], emax=emax, gf_order=gf_order
+    packed = (
+        ge_impl == "packed"
+        or (
+            ge_impl == "auto"
+            and gf_order == 2
+            and values.ndim == 3
+            and values.dtype == jnp.uint32
+        )
     )
+    if packed:
+        v_sub, e_sub, failed_sub = ge_solve_packed(
+            arrays, values[sel], erased[sel], emax=emax
+        )
+    else:
+        v_sub, e_sub, failed_sub = ge_solve(
+            arrays, values[sel], erased[sel], emax=emax, gf_order=gf_order
+        )
     keep = is_resid[:, None, None] if values.ndim == 3 else is_resid[:, None]
     values = values.at[sel].set(jnp.where(keep, v_sub, values[sel]))
     erased = erased.at[sel].set(jnp.where(is_resid[:, None], e_sub, erased[sel]))

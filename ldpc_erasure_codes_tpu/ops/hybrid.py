@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
 from ldpc_erasure_codes_tpu.ops.compact import compact_ge_solve
-from ldpc_erasure_codes_tpu.ops.ge import ge_solve
+from ldpc_erasure_codes_tpu.ops.ge import ge_solve, ge_solve_packed
 from ldpc_erasure_codes_tpu.ops.pallas_peel import (
     default_b_tile,
     peel_decode_vmem,
@@ -32,7 +32,7 @@ from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
     jax.jit,
     static_argnames=(
         "gf_order", "peel_iters", "emax", "impl", "ge_subbatch", "b_tile",
-        "tiled",
+        "tiled", "ge_impl", "static_topo",
     ),
 )
 def hybrid_decode(
@@ -47,6 +47,8 @@ def hybrid_decode(
     ge_subbatch: int = 0,
     b_tile: int = 0,
     tiled: bool = False,
+    ge_impl: str = "auto",
+    static_topo: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Peel up to ``peel_iters`` sweeps, then GE-solve the residual.
 
@@ -89,6 +91,8 @@ def hybrid_decode(
         values, erased, iters = peel_decode_vmem(
             arrays, values, erased, max_iters=peel_iters, gf_order=gf_order,
             b_tile=bt, tiled=tiled,
+            schedule="unrolled" if static_topo is not None else "seq",
+            static_topo=static_topo,
         )
     elif values.ndim == 3 and impl == "gather":
         # Wide frames use the symbol-major XLA decoder (same fixed point and
@@ -111,8 +115,17 @@ def hybrid_decode(
     def ge_flat(v, e):
         if ge_subbatch > 0:
             return compact_ge_solve(
-                arrays, v, e, emax=emax, f_max=ge_subbatch, gf_order=gf_order
+                arrays, v, e, emax=emax, f_max=ge_subbatch, gf_order=gf_order,
+                ge_impl=ge_impl,
             )
+        packed = ge_impl == "packed" or (
+            ge_impl == "auto"
+            and gf_order == 2
+            and v.ndim == 3
+            and v.dtype == jnp.uint32
+        )
+        if packed:
+            return ge_solve_packed(arrays, v, e, emax=emax)
         return ge_solve(arrays, v, e, emax=emax, gf_order=gf_order)
 
     def with_ge(args):

@@ -197,7 +197,9 @@ def encode_packed_vmem(
         wc=wc, w_chunks=w_chunks,
     )
     out_bytes = (n + 1) * bt * wc * 4
-    nbuf = 2 if 2 * out_bytes <= 96 * 1024 * 1024 else 1
+    from ldpc_erasure_codes_tpu.utils.device import kernel_vmem_limit
+    dbl_budget = kernel_vmem_limit() - 16 * 1024 * 1024  # 96 MiB on v5e
+    nbuf = 2 if 2 * out_bytes <= dbl_budget else 1
     big_mode = None if nbuf == 2 else pl.Buffered(buffer_count=1)
     # Source-idx pad remapped k -> n: source neighbors are read out of the
     # output window's systematic prefix, whose shared zero pad row is slot n.
@@ -236,7 +238,7 @@ def encode_packed_vmem(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ntiles, (n + 1) * bt, w), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024,
+            vmem_limit_bytes=kernel_vmem_limit(),
         ),
         interpret=interpret,
     )(tab, st)

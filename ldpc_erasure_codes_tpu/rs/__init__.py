@@ -6,12 +6,13 @@ from ldpc_erasure_codes_tpu.rs.code import (
     rs_generator,
     rs_systematic_generator,
 )
-from ldpc_erasure_codes_tpu.rs.decode import rs_decode, rs_encode
+from ldpc_erasure_codes_tpu.rs.decode import rs_decode, rs_decode_wide, rs_encode
 
 __all__ = [
     "analytic_rs_fer",
     "rs_code",
     "rs_decode",
+    "rs_decode_wide",
     "rs_encode",
     "rs_generator",
     "rs_systematic_generator",

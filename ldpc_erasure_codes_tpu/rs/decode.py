@@ -14,7 +14,7 @@ import jax
 
 from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
 from ldpc_erasure_codes_tpu.ops.encode import encode_nb, encode_packed
-from ldpc_erasure_codes_tpu.ops.ge import ge_solve
+from ldpc_erasure_codes_tpu.ops.ge import ge_solve, ge_solve_wide_nb
 
 
 def rs_encode(arrays: CodeArrays, source: jax.Array) -> jax.Array:
@@ -41,3 +41,31 @@ def rs_decode(
     if emax is None:
         emax = m
     return ge_solve(arrays, values, erased, emax=emax, gf_order=256)
+
+
+def rs_decode_wide(
+    arrays: CodeArrays,
+    values: jax.Array,
+    erased: jax.Array,
+    *,
+    emax: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Wide-symbol (packet-FEC) RS erasure decode: (B, n, W) uint8 payloads.
+
+    The production formulation for packet payloads (VERDICT r2 next-round
+    #5): the k x k GF(256) system is solved ONCE per erasure pattern on
+    narrow bytes (with row-op tracking), and the accumulated transform is
+    applied to the W-byte payloads as a bit-image int8 MXU matmul
+    (:func:`ops.ge.ge_solve_wide_nb`) — decode cost is flat in the payload
+    width where the reference's per-symbol formulation scales as
+    O(k (k - N_sys)^2) per payload byte
+    (Matlab/ReedSolomonErasureCodes.m:83-91,
+    My_RS_Decode_Optimize_With_GFTables.m:55-91).
+
+    Returns (values, erased, failed) — failed marks > n-k erasures (the MDS
+    bound; rank deficiency cannot otherwise occur for RS).
+    """
+    m = arrays.h.shape[0]
+    if emax is None:
+        emax = m
+    return ge_solve_wide_nb(arrays, values, erased, emax=emax)

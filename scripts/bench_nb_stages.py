@@ -1,0 +1,115 @@
+"""Stage-level timing of the GF(256) tiled value pipeline (real TPU).
+
+VERDICT r2 weak #2: the NB chain composes 108 Gbps encode + 189 Gbps decode
+into only 89.2 Gbps end-to-end, unexplained. This times each stage of the
+SAME jitted pipeline shape (B=512, W=1024 bytes = S=8192, PER .1406,
+tile-major layout) in isolation:
+
+  src        — source draw only (uint8 bits)
+  enc        — src + NB VMEM encode (tiled_out)
+  enc+dec    — + NB VMEM peel (tiled)
+  enc+hyb    — + hybrid (peel + compacted GE armed) == the 89.2 Gbps row
+
+Every leg consumes its outputs via XOR digest.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from ldpc_erasure_codes_tpu import channel as ch
+    from ldpc_erasure_codes_tpu.codes import get_code
+    from ldpc_erasure_codes_tpu.ops import device_arrays, hybrid_decode
+    from ldpc_erasure_codes_tpu.ops.pallas_encode import encode_packed_vmem
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import peel_decode_vmem
+
+    quick = "--quick" in sys.argv
+    code = get_code("n2040_k1530_gf256")
+    arrays = device_arrays(code)
+    b = 64 if quick else 512
+    wb = 1024  # bytes per symbol = S 8192 bits
+    bt, per = 32, 0.1406
+    reps = 3 if quick else 10
+    key = jax.random.key(0)
+
+    def digest32(x):
+        return jnp.bitwise_xor.reduce(
+            jnp.bitwise_xor.reduce(x, axis=1), axis=0
+        )
+
+    def timed(name, fn):
+        out = jax.block_until_ready(fn(jax.random.fold_in(key, 999)))
+        t0 = time.perf_counter()
+        for i in range(reps):
+            out = fn(jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        gbps = b * code.k * 8 * wb / dt / 1e9
+        print(f"{name:24s} {dt * 1e3:8.2f} ms/step  ({gbps:7.1f} Gbps info)",
+              flush=True)
+        return dt
+
+    @jax.jit
+    def src_only(k):
+        src = jax.random.bits(k, (b, code.k, wb), dtype=jnp.uint8)
+        return digest32(src.astype(jnp.uint32))
+
+    @jax.jit
+    def enc_only(k):
+        src = jax.random.bits(k, (b, code.k, wb), dtype=jnp.uint8)
+        cw = encode_packed_vmem(
+            arrays, src, gf_order=256, b_tile=bt, tiled_out=True
+        )
+        return digest32(cw)
+
+    @jax.jit
+    def enc_dec(k):
+        k_src, k_ch = jax.random.split(k)
+        src = jax.random.bits(k_src, (b, code.k, wb), dtype=jnp.uint8)
+        cw = encode_packed_vmem(
+            arrays, src, gf_order=256, b_tile=bt, tiled_out=True
+        )
+        mask = ch.iid_erasures(k_ch, (b, code.n), per)
+        v, e, iters = peel_decode_vmem(
+            arrays, cw, mask, max_iters=50, gf_order=256, b_tile=bt,
+            tiled=True, early_stop_k=code.k,
+        )
+        return digest32(v), jnp.sum(e[:, : code.k])
+
+    @jax.jit
+    def enc_hyb(k):
+        k_src, k_ch = jax.random.split(k)
+        src = jax.random.bits(k_src, (b, code.k, wb), dtype=jnp.uint8)
+        cw = encode_packed_vmem(
+            arrays, src, gf_order=256, b_tile=bt, tiled_out=True
+        )
+        mask = ch.iid_erasures(k_ch, (b, code.n), per)
+        v, e, iters, failed = hybrid_decode(
+            arrays, cw, mask, gf_order=256, peel_iters=10, emax=128,
+            impl="vmem", ge_subbatch=64, b_tile=bt, tiled=True,
+        )
+        return digest32(v), jnp.sum(failed)
+
+    t_src = timed("src only", src_only)
+    t_enc = timed("src + encode", enc_only)
+    t_dec = timed("src + encode + peel", enc_dec)
+    t_hyb = timed("src + encode + hybrid", enc_hyb)
+    print(
+        f"stage shares: src {t_src * 1e3:.1f} ms, encode "
+        f"{(t_enc - t_src) * 1e3:.1f} ms, peel {(t_dec - t_enc) * 1e3:.1f} "
+        f"ms, GE-arm {(t_hyb - t_dec) * 1e3:.1f} ms",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -127,6 +127,87 @@ class TestGESolve:
         assert np.array_equal(np.asarray(v), words)
 
 
+class TestGESolvePacked:
+    """ge_solve_packed (packed-bit elimination + MXU apply) vs ge_solve."""
+
+    def _wide_batch(self, code, arrays, rng, b, w, per):
+        src = jnp.asarray(
+            rng.integers(0, 2**32, (b, code.k, w), dtype=np.uint32)
+        )
+        cws = np.asarray(ops.encode_packed(arrays, src))
+        mask = rng.random((b, code.n)) <= per
+        vals = cws * ~mask[:, :, None]
+        return cws, jnp.asarray(vals), jnp.asarray(mask)
+
+    def test_matches_byte_ge_mixed_batch(self):
+        from ldpc_erasure_codes_tpu.ops.ge import ge_solve_packed
+
+        code = codes_mod.toy_code(n=96, k=64, seed=3)
+        arrays = ops.device_arrays(code)
+        rng = np.random.default_rng(30)
+        cws, vals, mask = self._wide_batch(code, arrays, rng, 16, 3, 0.12)
+        # Force failure modes into the batch: frame 0 overflows the emax
+        # bucket, frame 1 erases more symbols than there are checks
+        # (rank-deficient by counting).
+        mask = np.asarray(mask).copy()
+        vals = np.asarray(vals).copy()
+        mask[0, :40] = True
+        vals[0, :40] = 0
+        mask[1, : code.n - code.k + 1] = True
+        vals[1, : code.n - code.k + 1] = 0
+        mask, vals = jnp.asarray(mask), jnp.asarray(vals)
+        v1, e1, f1 = ge_solve(arrays, vals, mask, emax=33)
+        v2, e2, f2 = ge_solve_packed(arrays, vals, mask, emax=33)
+        assert np.array_equal(np.asarray(f1), np.asarray(f2))
+        assert np.array_equal(np.asarray(e1), np.asarray(e2))
+        ok = ~np.asarray(f1)
+        assert ok.any() and (~ok).any(), "want a mixed batch"
+        assert np.array_equal(np.asarray(v1)[ok], np.asarray(v2)[ok])
+        assert np.array_equal(np.asarray(v2)[ok], cws[ok])
+
+    def test_odd_width_and_emax(self):
+        """Non-multiple-of-32 emax and odd W exercise the packing pads."""
+        from ldpc_erasure_codes_tpu.ops.ge import ge_solve_packed
+
+        code = codes_mod.toy_code(n=60, k=36, seed=2)
+        arrays = ops.device_arrays(code)
+        rng = np.random.default_rng(31)
+        cws, vals, mask = self._wide_batch(code, arrays, rng, 6, 5, 0.10)
+        v1, e1, f1 = ge_solve(arrays, vals, mask, emax=23)
+        v2, e2, f2 = ge_solve_packed(arrays, vals, mask, emax=23)
+        assert np.array_equal(np.asarray(f1), np.asarray(f2))
+        ok = ~np.asarray(f1)
+        assert np.array_equal(np.asarray(v1)[ok], np.asarray(v2)[ok])
+
+    def test_production_code_wide(self, c2000, a2000):
+        from ldpc_erasure_codes_tpu.ops.ge import ge_solve_packed
+
+        rng = np.random.default_rng(32)
+        cws, vals, mask = self._wide_batch(c2000, a2000, rng, 2, 2, 0.03)
+        v, e, failed = ge_solve_packed(a2000, vals, mask, emax=128)
+        assert not np.asarray(failed).any()
+        assert not np.asarray(e).any()
+        assert np.array_equal(np.asarray(v), cws)
+
+    def test_hybrid_auto_picks_packed(self, c2000, a2000):
+        """hybrid_decode(ge_impl=auto) on wide uint32 == ge_impl=bytes."""
+        rng = np.random.default_rng(33)
+        cws, vals, mask = self._wide_batch(c2000, a2000, rng, 4, 2, 0.38)
+        out_a = hybrid_decode(
+            a2000, vals, mask, peel_iters=10, emax=512, ge_impl="auto"
+        )
+        out_b = hybrid_decode(
+            a2000, vals, mask, peel_iters=10, emax=512, ge_impl="bytes"
+        )
+        fa, fb = np.asarray(out_a[3]), np.asarray(out_b[3])
+        assert np.array_equal(fa, fb)
+        ok = ~fa
+        assert np.array_equal(np.asarray(out_a[1]), np.asarray(out_b[1]))
+        assert np.array_equal(
+            np.asarray(out_a[0])[ok], np.asarray(out_b[0])[ok]
+        )
+
+
 class TestHybridDecode:
     def test_matches_oracle(self, c2000, a2000):
         rng = np.random.default_rng(25)

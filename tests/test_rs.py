@@ -132,6 +132,70 @@ def test_packed_rs_encode_decode():
             assert failed[i]
 
 
+def test_bit_image_dev_matches_host():
+    """The device-side arithmetic binary image == the host table image."""
+    from ldpc_erasure_codes_tpu.ops.ge import _bit_image_dev
+
+    rng = np.random.default_rng(40)
+    mat = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    host = gf.bit_image(mat)
+    dev = np.asarray(_bit_image_dev(jnp.asarray(mat)))
+    np.testing.assert_array_equal(dev, host)
+    # Batched (leading dims) form.
+    mats = rng.integers(0, 256, (3, 4, 6), dtype=np.uint8)
+    dev_b = np.asarray(_bit_image_dev(jnp.asarray(mats)))
+    for i in range(3):
+        np.testing.assert_array_equal(dev_b[i], gf.bit_image(mats[i]))
+
+
+def test_rs_decode_wide_matches_byte_ge():
+    """ge_solve_wide_nb (narrow elimination + MXU apply) == the byte GE."""
+    from ldpc_erasure_codes_tpu.rs import rs_decode_wide
+
+    n, k = 18, 10
+    code = rs_code(n, k)
+    arrays = device_arrays(code)
+    key = jax.random.key(3)
+    b, w = 8, 5
+    src = jax.random.bits(key, (b, k, w), dtype=jnp.uint8)
+    cw = rs_encode(arrays, src)
+    erased = jax.random.uniform(jax.random.key(4), (b, n)) < 0.3
+    recv = jnp.where(erased[:, :, None], jnp.uint8(0), cw)
+    v1, e1, f1 = rs_decode(arrays, recv, erased)
+    v2, e2, f2 = rs_decode_wide(arrays, recv, erased)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    ok = ~np.asarray(f1)
+    np.testing.assert_array_equal(np.asarray(v1)[ok], np.asarray(v2)[ok])
+    ne = np.asarray(jnp.sum(erased, axis=1))
+    for i in range(b):
+        if ne[i] <= n - k:
+            assert not np.asarray(f2)[i]
+            np.testing.assert_array_equal(
+                np.asarray(v2[i]), np.asarray(cw[i]), err_msg=f"cw {i}"
+            )
+
+
+def test_rs_decode_wide_production_shape():
+    """(255,192) with real payload widths; every <= n-k pattern recovers."""
+    from ldpc_erasure_codes_tpu.rs import rs_decode_wide
+
+    n, k = 255, 192
+    code = rs_code(n, k)
+    arrays = device_arrays(code)
+    key = jax.random.key(5)
+    b, w = 2, 8
+    src = jax.random.bits(key, (b, k, w), dtype=jnp.uint8)
+    cw = rs_encode(arrays, src)
+    erased = jax.random.uniform(jax.random.key(6), (b, n)) < 0.15
+    recv = jnp.where(erased[:, :, None], jnp.uint8(0), cw)
+    v, e, failed = rs_decode_wide(arrays, recv, erased)
+    ne = np.asarray(jnp.sum(erased, axis=1))
+    for i in range(b):
+        assert ne[i] <= n - k and not np.asarray(failed)[i]
+        np.testing.assert_array_equal(np.asarray(v[i]), np.asarray(cw[i]))
+
+
 def test_analytic_fer():
     # Degenerate cases + monotonicity + a hand value.
     assert analytic_rs_fer(10, 10, 0.1) == pytest.approx(1 - 0.9**10)
