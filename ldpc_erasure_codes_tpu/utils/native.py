@@ -90,6 +90,14 @@ def load_native() -> ctypes.CDLL | None:
         ctypes.c_void_p, c_i64p, c_u8p, c_u8p, ctypes.c_int,
     ]
     lib.ldpc_asm_stats.argtypes = [ctypes.c_void_p, c_i64p]
+    lib.ldpc_tx_packetize.argtypes = [
+        c_u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_longlong, c_i64p, ctypes.c_int, c_u8p,
+    ]
+    lib.ldpc_udp_send_burst.argtypes = [
+        ctypes.c_int, c_u8p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int,
+    ]
     return lib
 
 
@@ -247,6 +255,71 @@ def write_vlist_header(
             row += [0] * (cols - len(row))
             f.write("{" + ",".join(map(str, row)) + "}" + ("," if r + 1 < m else "") + "\n")
         f.write("};\n")
+
+
+# ---------------------------------------------------------------------------
+# Burst transmit (native mirror of the RX-side assembler; see ldpc_io.cpp)
+# ---------------------------------------------------------------------------
+
+
+def tx_packetize(
+    blocks: np.ndarray,
+    order: np.ndarray,
+    *,
+    class_code: int = 0,
+    first_block_num: int = 0,
+) -> np.ndarray:
+    """(B, n, sb) uint8 blocks + flat (block*n + symbol) emit order ->
+    (npkts, 8 + sb) uint8 contiguous packet matrix (FEC header + payload).
+
+    Loss injection = omit entries from ``order``; stream reordering =
+    permute it. One C pass when the native library is available; a
+    vectorized NumPy fallback otherwise (identical bytes)."""
+    blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
+    b, n, sb = blocks.shape
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    npkts = len(order)
+    out = np.empty((npkts, 8 + sb), dtype=np.uint8)
+    lib = load_native()
+    if lib is not None and npkts:
+        rc = lib.ldpc_tx_packetize(
+            _ptr(blocks, ctypes.c_uint8), b, n, sb,
+            class_code, first_block_num,
+            _ptr(order, ctypes.c_longlong), npkts,
+            _ptr(out, ctypes.c_uint8),
+        )
+        if rc < 0:
+            raise ValueError("tx_packetize: order index out of range")
+        return out
+    blk = (first_block_num + order // n).astype("<u4")
+    sym = (order % n).astype("<u2")
+    out[:, 0] = class_code & 0xFF
+    out[:, 1] = (class_code >> 8) & 0xFF
+    out[:, 2:6] = blk.view(np.uint8).reshape(npkts, 4)
+    out[:, 6:8] = sym.view(np.uint8).reshape(npkts, 2)
+    out[:, 8:] = blocks.reshape(b * n, sb)[order]
+    return out
+
+
+def udp_send_burst(
+    fd: int, pkts: np.ndarray, ip: str, port: int
+) -> int | None:
+    """sendmmsg a (npkts, psize) uint8 packet matrix to ip:port over ``fd``
+    (one syscall per 512 datagrams). Returns datagrams sent, or None when
+    the native library is unavailable (caller falls back to sendto)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    pkts = np.ascontiguousarray(pkts, dtype=np.uint8)
+    npkts, psize = pkts.shape
+    if npkts == 0:
+        return 0
+    rc = lib.ldpc_udp_send_burst(
+        fd, _ptr(pkts, ctypes.c_uint8), npkts, psize, ip.encode(), port
+    )
+    if rc < 0:
+        raise OSError(f"ldpc_udp_send_burst failed (errno {-rc})")
+    return rc
 
 
 def parse_header_ints(path: str | os.PathLike, max_vals: int = 1 << 22) -> np.ndarray:

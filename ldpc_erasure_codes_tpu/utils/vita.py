@@ -186,6 +186,61 @@ class VitaEmitter:
         out.append((cls, hdr.pack() + payload))
         return out
 
+    def emit_burst(self, payloads) -> tuple["object", list]:
+        """Vectorized framing of N equal-size payloads (round 3, the TX
+        batching half of VERDICT r2 #4 — the per-packet ``struct`` path
+        measured as part of the end-to-end TX bottleneck).
+
+        ``payloads``: (N, sb) uint8 NumPy array, sb % 4 == 0. Returns
+        ``(data_pkts, contexts)`` where ``data_pkts`` is the (N, 8 + sb)
+        uint8 matrix of framed VRT data packets (one NumPy pass — ready for
+        ``native.udp_send_burst``) and ``contexts`` is
+        ``[(data_index, class_code, packet_bytes), ...]`` — each context
+        packet belongs immediately BEFORE data packet ``data_index`` in the
+        stream. Counters advance exactly as N sequential :meth:`emit` calls
+        (asserted byte-exact in tests/test_vita.py).
+        """
+        import numpy as np
+
+        payloads = np.ascontiguousarray(payloads, dtype=np.uint8)
+        n, sb = payloads.shape
+        if sb % 4:
+            raise ValueError("VRT payload must be whole 32-bit words")
+        words = 2 + sb // 4
+        counts = (self._data_count + np.arange(n, dtype=np.uint32)) & 0xF
+        w0 = (
+            np.uint32(PKT_IF_DATA_SID << 28)
+            | (counts << np.uint32(16))
+            | np.uint32(words & 0xFFFF)
+        )
+        out = np.empty((n, 8 + sb), dtype=np.uint8)
+        out[:, 0:4] = w0.astype(">u4").view(np.uint8).reshape(n, 4)
+        out[:, 4:8] = np.broadcast_to(
+            np.frombuffer(
+                _WORD.pack(self.stream_id & 0xFFFFFFFF), dtype=np.uint8
+            ),
+            (n, 4),
+        )
+        out[:, 8:] = payloads
+        self._data_count = (self._data_count + n) & 0xF
+        contexts: list[tuple[int, int, bytes]] = []
+        if self.data_per_context > 0:
+            cls = CLASS_CONTEXT_TEST if self.test_mode else CLASS_CONTEXT
+            since = self._since_context
+            for i in range(n):
+                if since >= self.data_per_context:
+                    since = 0
+                    ctx = VitaHeader(
+                        packet_type=PKT_IF_CONTEXT,
+                        packet_count=self._next_count(ctx=True),
+                        packet_size=2,
+                        stream_id=self.stream_id,
+                    )
+                    contexts.append((i, cls, ctx.pack()))
+                since += 1
+            self._since_context = since
+        return out, contexts
+
 
 class VitaIngest:
     """Validate/strip VRT framing; yield FEC-ready payload symbols.

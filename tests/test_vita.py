@@ -88,6 +88,43 @@ def test_emitter_context_cadence_and_counts():
     assert ctx_counts == [0, 1, 2]
 
 
+def test_emit_burst_matches_sequential():
+    """emit_burst == N sequential emit() calls byte-for-byte (counters,
+    context cadence, framing), including counter state carried ACROSS
+    bursts."""
+    import numpy as np
+    from ldpc_erasure_codes_tpu.utils.vita import VitaEmitter
+
+    rng = np.random.default_rng(50)
+    payloads = rng.integers(0, 256, (37, 12), dtype=np.uint8)
+
+    seq = VitaEmitter(0xAB12, data_per_context=5)
+    burst = VitaEmitter(0xAB12, data_per_context=5)
+
+    ref: list[tuple[int, bytes]] = []
+    for p in payloads:
+        ref.extend(seq.emit(p.tobytes()))
+
+    got: list[tuple[int, bytes]] = []
+    for lo, hi in ((0, 17), (17, 37)):  # two bursts: state must carry over
+        pkts, contexts = burst.emit_burst(payloads[lo:hi])
+        by_pos: dict[int, list[tuple[int, bytes]]] = {}
+        for i, cls, cp in contexts:
+            by_pos.setdefault(i, []).append((cls, cp))
+        for i in range(hi - lo):
+            got.extend(by_pos.get(i, []))
+            got.append((None, pkts[i].tobytes()))
+
+    assert len(ref) == len(got)
+    for (rc, rp), (gc, gp) in zip(ref, got):
+        assert rp == gp
+        if gc is not None:
+            assert rc == gc
+    assert seq._data_count == burst._data_count
+    assert seq._ctx_count == burst._ctx_count
+    assert seq._since_context == burst._since_context
+
+
 def test_emitter_rejects_ragged_payload():
     with pytest.raises(ValueError):
         VitaEmitter(1).emit(b"abc")
