@@ -215,32 +215,43 @@ def ge_solve_packed(
         w = jax.lax.dynamic_index_in_dim(r, col >> 5, axis=2, keepdims=False)
         return (w >> (col & 31).astype(jnp.uint32)) & jnp.uint32(1)  # (B, M)
 
+    # Swap-free elimination: instead of physically moving the pivot row to
+    # position `col` (a row gather + TWO full-matrix select passes per
+    # pivot), rows stay put — a `used` mask excludes consumed pivots and a
+    # per-column pivot-row index is recorded so the solution can be gathered
+    # at the end. Rank-failure semantics are identical (a real column with
+    # no unused nonzero row is rank deficiency either way), and the solution
+    # of every solvable frame is the same (tested vs ge_solve). Cuts the
+    # per-pivot full-matrix passes from ~5 to ~2.
+    used0 = jnp.zeros((b, mm), dtype=bool)
+    pivrow0 = jnp.zeros((b, emax), dtype=jnp.int32)
+
     def step(col, carry):
-        r, failed = carry
+        r, used, pivrow, failed = carry
         colv = getcol(r, col)
-        cand = (colv != 0) & (row_iota >= col)
+        cand = (colv != 0) & ~used
         has = jnp.any(cand, axis=1)
         piv = jnp.argmax(cand, axis=1).astype(jnp.int32)
-        piv = jnp.where(has, piv, col)  # degenerate: self-swap no-op
         is_piv = row_iota == piv[:, None]
-        is_col = row_iota == col
-        row_piv = jnp.take_along_axis(r, piv[:, None, None], axis=1)
-        row_col = jax.lax.dynamic_slice_in_dim(r, col, 1, axis=1)
-        r = jnp.where(is_piv[:, :, None], row_col, r)
-        r = jnp.where(is_col[:, :, None], row_piv, r)
-        prow = jax.lax.dynamic_slice_in_dim(r, col, 1, axis=1)  # (B, 1, Wp)
-        colv2 = getcol(r, col)
-        elim = (colv2 != 0) & (row_iota != col) & has[:, None]
+        used = used | (is_piv & has[:, None])
+        pivrow = pivrow.at[:, col].set(jnp.where(has, piv, 0))
+        prow = jnp.take_along_axis(r, piv[:, None, None], axis=1)  # (B,1,Wp)
+        elim = (colv != 0) & ~is_piv & has[:, None]
         r = r ^ jnp.where(elim[:, :, None], prow, jnp.uint32(0))
         failed = failed | (~has & (col < nreal))
-        return r, failed
+        return r, used, pivrow, failed
 
-    r, failed = jax.lax.fori_loop(0, emax, step, (r, overflow))
+    r, _, pivrow, failed = jax.lax.fori_loop(
+        0, emax, step, (r, used0, pivrow0, overflow)
+    )
 
-    # x = T_top . rhs over GF(2). The virtual rows' rhs is zero, so only the
-    # first m columns of T contribute.
+    # x = T[pivot rows] . rhs over GF(2). The virtual rows' rhs is zero, so
+    # only the first m columns of T contribute.
     rhs_top = _syndrome_known(arrays, values, 2)  # (B, m, W) uint32
-    t_bits = _words_to_bits(r[:, :emax, wa:])[..., :m]  # (B, emax, m) int8
+    t_rows = jnp.take_along_axis(
+        r[:, :, wa:], pivrow[:, :, None], axis=1
+    )  # (B, emax, wt): row-op transform rows of each column's pivot
+    t_bits = _words_to_bits(t_rows)[..., :m]  # (B, emax, m) int8
     w = values.shape[2]
     cw = min(w, 64)  # 2048-bit bit-plane chunks bound the int8 intermediate
     xs = []
@@ -346,32 +357,35 @@ def ge_solve_wide_nb(
 
     row_iota = jnp.arange(mm, dtype=jnp.int32)[None, :]
 
+    # Swap-free elimination (see ge_solve_packed): a `used` mask + recorded
+    # pivot-row indices replace the physical row swap's two full-matrix
+    # select passes per pivot. Unlike the binary path the normalized pivot
+    # row must be written back (one masked pass), since the end-state pivot
+    # rows ARE the transform.
+    used0 = jnp.zeros((b, mm), dtype=bool)
+    pivrow0 = jnp.zeros((b, emax), dtype=jnp.int32)
+
     def step(col, carry):
-        r, failed = carry
+        r, used, pivrow, failed = carry
         colv = jax.lax.dynamic_index_in_dim(r, col, axis=2, keepdims=False)
-        cand = (colv != 0) & (row_iota >= col)
+        cand = (colv != 0) & ~used
         has = jnp.any(cand, axis=1)
         piv = jnp.argmax(cand, axis=1).astype(jnp.int32)
-        piv = jnp.where(has, piv, col)
         is_piv = row_iota == piv[:, None]
-        is_col = row_iota == col
-        row_piv = jnp.take_along_axis(r, piv[:, None, None], axis=1)
-        row_col = jax.lax.dynamic_slice_in_dim(r, col, 1, axis=1)
-        r = jnp.where(is_piv[:, :, None], row_col, r)
-        r = jnp.where(is_col[:, :, None], row_piv, r)
-        prow = jax.lax.dynamic_slice_in_dim(r, col, 1, axis=1)  # (B, 1, C)
-        pivot_el = jax.lax.dynamic_index_in_dim(
-            prow[:, 0, :], col, axis=1, keepdims=False
-        )
+        used = used | (is_piv & has[:, None])
+        pivrow = pivrow.at[:, col].set(jnp.where(has, piv, 0))
+        prow = jnp.take_along_axis(r, piv[:, None, None], axis=1)  # (B,1,C)
+        pivot_el = jnp.take_along_axis(colv, piv[:, None], axis=1)[:, 0]
         prow = gf.gf_mul(gf.gf_inv(pivot_el)[:, None, None], prow)
-        r = jnp.where(is_col[:, :, None], prow, r)
-        colv2 = jax.lax.dynamic_index_in_dim(r, col, axis=2, keepdims=False)
-        factor = jnp.where((row_iota != col) & has[:, None], colv2, 0)
+        r = jnp.where((is_piv & has[:, None])[:, :, None], prow, r)
+        factor = jnp.where(~is_piv & has[:, None], colv, 0)
         r = r ^ gf.gf_mul(factor[:, :, None], prow)
         failed = failed | (~has & (col < nreal))
-        return r, failed
+        return r, used, pivrow, failed
 
-    r, failed = jax.lax.fori_loop(0, emax, step, (r, overflow))
+    r, _, pivrow, failed = jax.lax.fori_loop(
+        0, emax, step, (r, used0, pivrow0, overflow)
+    )
 
     # rhs = H_nb . y_known: erased slots hold zero, so the full-H product is
     # the known-only sum. One bit-plane MXU pass over the payload width.
@@ -384,8 +398,10 @@ def ge_solve_wide_nb(
     )
     rhs = gf.bits_to_bytes(acc & 1)  # (B, W, m) bytes
 
-    # x = T_top . rhs (virtual rows' rhs is zero => only T's first m cols).
-    t_top = r[:, :emax, emax : emax + m]  # (B, emax, m)
+    # x = T[pivot rows] . rhs (virtual rows' rhs is zero => first m T cols).
+    t_top = jnp.take_along_axis(
+        r[:, :, emax : emax + m], pivrow[:, :, None], axis=1
+    )  # (B, emax, m)
     tt_img = _bit_image_dev(jnp.transpose(t_top, (0, 2, 1)))  # (B, 8m, 8emax)
     rb = gf.bytes_to_bits(rhs)  # (B, W, 8m)
     xb = jax.lax.dot_general(

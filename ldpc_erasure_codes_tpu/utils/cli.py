@@ -338,6 +338,7 @@ def cmd_stream(args) -> int:
         "blocks_recovered": r.blocks_recovered,
         "blocks_failed": r.blocks_failed,
         "packets_per_sec": round(r.packets_per_sec, 1),
+        "payload_gbps": round(r.payload_gbps, 3),
         "assembler": r.stats,
     }
     if r.vita_stats is not None:

@@ -98,6 +98,9 @@ def load_native() -> ctypes.CDLL | None:
         ctypes.c_int, c_u8p, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_int,
     ]
+    lib.ldpc_udp_recv_burst.argtypes = [
+        ctypes.c_int, c_u8p, ctypes.c_int, ctypes.c_int, c_i32p,
+    ]
     return lib
 
 
@@ -319,6 +322,26 @@ def udp_send_burst(
     )
     if rc < 0:
         raise OSError(f"ldpc_udp_send_burst failed (errno {-rc})")
+    return rc
+
+
+def udp_recv_burst(
+    fd: int, buf: np.ndarray, sizes: np.ndarray
+) -> int | None:
+    """Drain ready datagrams from ``fd`` into the (max_pkts, stride) uint8
+    matrix ``buf`` via recvmmsg (non-blocking; one syscall per 512).
+    ``sizes`` (max_pkts,) int32 receives each datagram's length. Returns the
+    count drained (0 = nothing ready), or None when the native library is
+    unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    rc = lib.ldpc_udp_recv_burst(
+        fd, _ptr(buf, ctypes.c_uint8), buf.shape[0], buf.shape[1],
+        _ptr(sizes, ctypes.c_int32),
+    )
+    if rc < 0:
+        raise OSError(f"ldpc_udp_recv_burst failed (errno {-rc})")
     return rc
 
 

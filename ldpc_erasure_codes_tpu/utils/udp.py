@@ -129,6 +129,9 @@ class UdpReceiver:
 
     def _run(self) -> None:
         size = HEADER_BYTES + self.assembler.symbol_bytes
+        if native.have_native():
+            self._run_native(size)
+            return
         while not self._stop.is_set():
             try:
                 data, _ = self._sock.recvfrom(size + 64)
@@ -150,6 +153,51 @@ class UdpReceiver:
                 else:
                     self._flush_burst_locked()  # preserve arrival order
                     self.assembler.push(data)
+
+    def _run_native(self, size: int) -> None:
+        """recvmmsg burst drain (round 3): one syscall per 512 datagrams
+        straight into a matrix the assembler's burst API consumes — the
+        Python per-datagram recvfrom loop capped the RX path at ~0.3M
+        pkts/s, an order below both the native assembler (21M) and the
+        native sendmmsg TX (0.6M+)."""
+        import select
+
+        cap = max(self._burst_cap, 1024)
+        buf = np.empty((cap, size + 64), dtype=np.uint8)
+        sizes = np.empty(cap, dtype=np.int32)
+        fd = self._sock.fileno()
+        while not self._stop.is_set():
+            try:
+                ready, _, _ = select.select([self._sock], [], [], 0.05)
+            except (OSError, ValueError):
+                break
+            if not ready:
+                continue
+            try:
+                n = native.udp_recv_burst(fd, buf, sizes)
+            except OSError:
+                break
+            if not n:
+                continue
+            with self._lock:
+                self.datagrams += n
+                # Push contiguous exact-size runs as bursts (arrival order
+                # preserved); odd-size datagrams go through push().
+                i = 0
+                while i < n:
+                    if sizes[i] == size:
+                        j = i
+                        while j < n and sizes[j] == size:
+                            j += 1
+                        if hasattr(self.assembler, "push_burst"):
+                            self.assembler.push_burst(buf[i:j, :size])
+                        else:
+                            for r in range(i, j):
+                                self.assembler.push(bytes(buf[r, :size]))
+                        i = j
+                    else:
+                        self.assembler.push(bytes(buf[i, : sizes[i]]))
+                        i += 1
 
     def drain(self, max_batch: int | None = None):
         with self._lock:
@@ -188,6 +236,7 @@ class StreamResult:
     packets_per_sec: float
     stats: dict
     vita_stats: dict | None = None
+    payload_gbps: float = 0.0  # received payload bits / transfer wall time
 
 
 def _vita_leg(
@@ -391,4 +440,7 @@ def loopback_demo(
         packets_per_sec=received / send_dt if send_dt > 0 else 0.0,
         stats=dict(asm.stats),
         vita_stats=vita_stats,
+        payload_gbps=(
+            received * sb * 8 / send_dt / 1e9 if send_dt > 0 else 0.0
+        ),
     )
