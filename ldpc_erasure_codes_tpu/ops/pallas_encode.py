@@ -28,7 +28,106 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
-from ldpc_erasure_codes_tpu.ops.pallas_peel import _gf_mul_scalar
+from ldpc_erasure_codes_tpu.ops.pallas_peel import _gf_mul_const, _gf_mul_scalar
+
+
+def static_enc_topology(arrays, k: int) -> tuple:
+    """Concrete per-parity-row encode topology for the unrolled encoder.
+
+    Returns ``((src_rows, src_coefs, par_rows, par_coefs, dinv), ...)`` with
+    true degrees only (no pad slots), source neighbors already remapped to
+    output-window rows (pad k -> n never appears — pads are dropped), parity
+    neighbors as absolute output rows (k + pidx). Hashable Python ints; must
+    be built OUTSIDE jit.
+    """
+    import numpy as np
+
+    si = np.asarray(arrays.enc_src_idx)
+    sv = np.asarray(arrays.enc_src_val)
+    pi = np.asarray(arrays.enc_par_idx)
+    pv = np.asarray(arrays.enc_par_val)
+    dv = np.asarray(arrays.enc_diag_inv)
+    m = si.shape[0]
+    out = []
+    for r in range(m):
+        s_sel = si[r] < k
+        p_sel = pi[r] < m
+        out.append(
+            (
+                tuple(int(x) for x in si[r][s_sel]),
+                tuple(int(x) for x in sv[r][s_sel]),
+                tuple(int(k + x) for x in pi[r][p_sel]),
+                tuple(int(x) for x in pv[r][p_sel]),
+                int(dv[r]),
+            )
+        )
+    return tuple(out)
+
+
+def _make_unrolled_kernel(
+    *, n: int, k: int, m: int, bt: int, gf_order: int, topo: tuple,
+    wc: int, w_chunks: int,
+):
+    """Constant-topology unrolled back-substitution (round 3): the
+    decoder's ``schedule="unrolled"`` lesson applied to the encoder. The
+    dynamic row loop serializes every slice read against every prior parity
+    store (aliasing undecidable); with the topology baked in, Mosaic sees
+    the true ~27-level dependency DAG and pipelines independent rows. Rows
+    are fenced into 8-row opaquely-predicated blocks to bound register
+    pressure. GF(256) coefficients multiply via compile-time bits
+    (:func:`pallas_peel._gf_mul_const`) — only set bits emit ops."""
+    BLK = 8
+
+    def kernel(
+        tab_ref,   # (1, 1) int32 dummy — topology baked into the program
+        src_hbm,   # (ntiles, k*bt, W) uint32 ANY
+        out_ref,   # ((n+1)*bt, W) uint32 VMEM out
+        flag_smem,  # (1,) int32 SMEM: opaque always-zero fence predicate
+        copy_sem,  # DMA semaphore
+    ):
+        if w_chunks > 1:
+            src = src_hbm.at[
+                pl.program_id(0), :,
+                pl.ds(pl.multiple_of(pl.program_id(1) * wc, wc), wc)
+            ]
+        else:
+            src = src_hbm.at[pl.program_id(0)]
+        cp = pltpu.make_async_copy(
+            src,
+            out_ref.at[pl.ds(0, k * bt), :],
+            copy_sem,
+        )
+        cp.start()
+        cp.wait()
+        out_ref[n * bt : (n + 1) * bt, :] = jnp.zeros(
+            (bt, out_ref.shape[1]), jnp.uint32
+        )
+        flag_smem[0] = 0
+
+        def row(i):
+            src_rows, src_coefs, par_rows, par_coefs, dinv = topo[i]
+            acc = None
+            for rr, cf in zip(
+                src_rows + par_rows, src_coefs + par_coefs
+            ):
+                term = out_ref[rr * bt : (rr + 1) * bt, :]
+                if gf_order != 2:
+                    term = _gf_mul_const(term, cf)
+                acc = term if acc is None else acc ^ term
+            if acc is None:
+                acc = jnp.zeros((bt, out_ref.shape[1]), jnp.uint32)
+            if gf_order != 2:
+                acc = _gf_mul_const(acc, dinv)
+            out_ref[(k + i) * bt : (k + i + 1) * bt, :] = acc
+
+        for b0 in range(0, m, BLK):
+
+            @pl.when(flag_smem[0] == 0)
+            def _(b0=b0):
+                for i in range(b0, min(b0 + BLK, m)):
+                    row(i)
+
+    return kernel
 
 
 def _make_kernel(
@@ -114,6 +213,7 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "gf_order", "b_tile", "tiled_out", "interpret", "w_chunk",
+        "static_topo",
     ),
 )
 def encode_packed_vmem(
@@ -125,6 +225,7 @@ def encode_packed_vmem(
     tiled_out: bool = False,
     interpret: bool = False,
     w_chunk: int = 0,
+    static_topo: tuple | None = None,
 ) -> jax.Array:
     """VMEM-resident packed systematic encode: (B, k, W) -> (B, n, W).
 
@@ -192,36 +293,57 @@ def encode_packed_vmem(
         ntiles, k * bt, w
     )
 
-    kernel = _make_kernel(
-        n=n, k=k, m=m, dmax=dmax, pmax=pmax, bt=bt, gf_order=gf_order,
-        wc=wc, w_chunks=w_chunks,
-    )
+    if static_topo is not None:
+        # Constant-topology unrolled back-substitution (see
+        # static_enc_topology; built outside jit, hashable, jit-cached).
+        if len(static_topo) != m:
+            raise ValueError(
+                f"static_topo has {len(static_topo)} rows, code has {m}"
+            )
+        kernel = _make_unrolled_kernel(
+            n=n, k=k, m=m, bt=bt, gf_order=gf_order, topo=static_topo,
+            wc=wc, w_chunks=w_chunks,
+        )
+    else:
+        kernel = _make_kernel(
+            n=n, k=k, m=m, dmax=dmax, pmax=pmax, bt=bt, gf_order=gf_order,
+            wc=wc, w_chunks=w_chunks,
+        )
     out_bytes = (n + 1) * bt * wc * 4
     from ldpc_erasure_codes_tpu.utils.device import kernel_vmem_limit
     dbl_budget = kernel_vmem_limit() - 16 * 1024 * 1024  # 96 MiB on v5e
     nbuf = 2 if 2 * out_bytes <= dbl_budget else 1
     big_mode = None if nbuf == 2 else pl.Buffered(buffer_count=1)
-    # Source-idx pad remapped k -> n: source neighbors are read out of the
-    # output window's systematic prefix, whose shared zero pad row is slot n.
-    src_idx = jnp.where(
-        arrays.enc_src_idx == k, jnp.int32(n), arrays.enc_src_idx
-    )
-    tab = jnp.concatenate(
-        [
-            src_idx,
-            arrays.enc_src_val.astype(jnp.int32),
-            arrays.enc_par_idx,
-            arrays.enc_par_val.astype(jnp.int32),
-            arrays.enc_diag_inv.astype(jnp.int32)[:, None],
-        ],
-        axis=1,
-    ).T
+    if static_topo is not None:
+        tab = jnp.zeros((1, 1), jnp.int32)  # topology baked in
+    else:
+        # Source-idx pad remapped k -> n: source neighbors are read out of
+        # the output window's systematic prefix, whose shared zero pad row
+        # is slot n.
+        src_idx = jnp.where(
+            arrays.enc_src_idx == k, jnp.int32(n), arrays.enc_src_idx
+        )
+        tab = jnp.concatenate(
+            [
+                src_idx,
+                arrays.enc_src_val.astype(jnp.int32),
+                arrays.enc_par_idx,
+                arrays.enc_par_val.astype(jnp.int32),
+                arrays.enc_diag_inv.astype(jnp.int32)[:, None],
+            ],
+            axis=1,
+        ).T
     if w_chunks > 1:
         grid = (ntiles, w_chunks)
         out_map = lambda i, j, tab: (i, 0, j)
     else:
         grid = (ntiles,)
         out_map = lambda i, tab: (i, 0, 0)
+    scratch_shapes = (
+        [pltpu.SMEM((1,), jnp.int32), pltpu.SemaphoreType.DMA]
+        if static_topo is not None
+        else [pltpu.SemaphoreType.DMA]
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -231,7 +353,7 @@ def encode_packed_vmem(
             out_map,
             memory_space=pltpu.VMEM, pipeline_mode=big_mode,
         ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        scratch_shapes=scratch_shapes,
     )
     out_t = pl.pallas_call(
         kernel,

@@ -54,6 +54,12 @@ class DecoderConfig:
     # Frames per VMEM tile for impl="vmem" (multiple of 8); <= 0 auto-sizes
     # to the code/symbol shape (ops/pallas_peel.default_b_tile).
     b_tile: int = 0
+    # Sweep schedule for impl="vmem": "seq" (dynamic topology, no per-code
+    # compile cost) or "unrolled" (constant-topology program — the round-3
+    # production throughput schedule, ~70 s Mosaic compile per code/shape,
+    # jit-cached; bit-exact). The driver resolves the static topology
+    # outside the jitted step.
+    schedule: str = "seq"
     early_stop_k: bool = False  # FPGA first-k-known early exit
     ge_subbatch: int = 0  # >0: compact residual frames into this bucket for GE
     # Block-error scope: False (default) counts residual erasures among the

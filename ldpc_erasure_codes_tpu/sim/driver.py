@@ -82,7 +82,7 @@ def _erasure_mask(key: jax.Array, cfg: SimConfig, n: int, per: jax.Array) -> jax
 
 def _decode(
     arrays: CodeArrays, cfg: SimConfig, values: jax.Array, erased: jax.Array,
-    k: int, *, tiled: bool = False, bt: int = 0
+    k: int, *, tiled: bool = False, bt: int = 0, static_topo: tuple | None = None
 ):
     d = cfg.decoder
     early = k if d.early_stop_k else None
@@ -107,6 +107,8 @@ def _decode(
                 early_stop_k=early,
                 b_tile=bt,
                 tiled=tiled,
+                schedule="unrolled" if static_topo is not None else "seq",
+                static_topo=static_topo,
             )
             return v, e, iters, None
         # Scalar/2D symbols have no VMEM kernel: impl="vmem" maps to the
@@ -133,6 +135,7 @@ def _decode(
             ge_subbatch=d.ge_subbatch,
             b_tile=bt if tiled else d.b_tile,
             tiled=tiled,
+            static_topo=static_topo,
         )
         return v, e, iters, failed
     v, e, failed = ge_solve(
@@ -212,6 +215,23 @@ def make_sim_step(
             else default_b_tile(n, words)
         )
 
+    # Constant-topology unrolled kernels (resolved OUTSIDE the jitted step;
+    # concrete arrays here).
+    static_topo = enc_topo = None
+    if (
+        cfg.decoder.schedule == "unrolled"
+        and cfg.decoder.impl == "vmem"
+        and cfg.symbol_words > 0
+    ):
+        from ldpc_erasure_codes_tpu.ops.pallas_encode import (
+            static_enc_topology,
+        )
+        from ldpc_erasure_codes_tpu.ops.pallas_peel import static_topology
+
+        static_topo = static_topology(arrays)
+        if cfg.tiled_pipeline and cfg.track_values:
+            enc_topo = static_enc_topology(arrays, k)
+
     def step_once(key: jax.Array, per: jax.Array) -> SimStats:
         k_src, k_ch = jax.random.split(key)
         mask = _erasure_mask(k_ch, cfg, n, per)
@@ -225,16 +245,19 @@ def make_sim_step(
             # into the decoder copy-in) and no HBM layout transposes.
             cw = encode_packed_vmem(
                 arrays, source, gf_order=cfg.gf_order, b_tile=tile_bt,
-                tiled_out=True,
+                tiled_out=True, static_topo=enc_topo,
             )
             _, e_out, iters, failed = _decode(
-                arrays, cfg, cw, mask, k, tiled=True, bt=tile_bt
+                arrays, cfg, cw, mask, k, tiled=True, bt=tile_bt,
+                static_topo=static_topo,
             )
         elif cfg.track_values:
             source = _draw_source(k_src, cfg, k)
             cw = _encode(arrays, cfg, source)
             recv = ch.apply_erasures(cw, mask)
-            _, e_out, iters, failed = _decode(arrays, cfg, recv, mask, k)
+            _, e_out, iters, failed = _decode(
+                arrays, cfg, recv, mask, k, static_topo=static_topo
+            )
         else:
             e_out, iters, failed = _decode_mask(arrays, cfg, mask, k)
         return batch_stats(

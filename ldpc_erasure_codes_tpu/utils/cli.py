@@ -90,8 +90,9 @@ def make_throughput_step(
     (impl 'pallas' = the production VMEM-resident kernel, masking fused
     into its copy-in; 'xla' = the symbol-major peel_decode_wide path).
     ``schedule`` selects the Pallas sweep schedule (seq = MATLAB
-    Gauss-Seidel parity, jacobi = MXU-count detection; see
-    ops/pallas_peel.py). ``b_tile`` <= 0 auto-sizes the VMEM frame tile to
+    Gauss-Seidel parity; unrolled = the round-3 constant-topology
+    production schedule, ~70 s compile per code/shape; jacobi/counted/
+    grouped = measured-negative research knobs; see ops/pallas_peel.py). ``b_tile`` <= 0 auto-sizes the VMEM frame tile to
     the code length and ``symbol_words`` (larger registry codes need a
     smaller tile than the headline bt=32 to fit VMEM). ``tiled`` expects
     (and returns) codewords in the kernel's tile-major pipeline layout
@@ -117,6 +118,11 @@ def make_throughput_step(
     )
     from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
 
+    static_topo = None
+    if impl == "pallas" and schedule == "unrolled":
+        from ldpc_erasure_codes_tpu.ops.pallas_peel import static_topology
+
+        static_topo = static_topology(arrays)
     bt = 0
     if impl == "pallas":
         if b_tile > 0:
@@ -137,6 +143,7 @@ def make_throughput_step(
             values, erased, _ = peel_decode_vmem(
                 arrays, cw, mask, max_iters=max_iters, early_stop_k=code.k,
                 b_tile=bt, schedule=schedule, tiled=tiled,
+                static_topo=static_topo,
             )
         else:
             recv = ch.apply_erasures(cw, mask)
@@ -490,7 +497,10 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--symbol-words", type=int, default=256)
     pt.add_argument("--max-iters", type=int, default=50)
     pt.add_argument("--impl", default="pallas", choices=["pallas", "xla"])
-    pt.add_argument("--schedule", default="seq", choices=["seq", "jacobi"])
+    pt.add_argument(
+        "--schedule", default="seq",
+        choices=["seq", "unrolled", "counted", "grouped", "jacobi"],
+    )
     pt.add_argument(
         "--b-tile", type=int, default=0,
         help="Pallas frames/VMEM tile (0 = auto-size to the code and "

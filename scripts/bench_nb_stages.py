@@ -32,6 +32,9 @@ def main() -> None:
     from ldpc_erasure_codes_tpu.ops.pallas_encode import encode_packed_vmem
     from ldpc_erasure_codes_tpu.ops.pallas_peel import peel_decode_vmem
 
+    from ldpc_erasure_codes_tpu.ops.pallas_encode import static_enc_topology
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import static_topology
+
     quick = "--quick" in sys.argv
     code = get_code("n2040_k1530_gf256")
     arrays = device_arrays(code)
@@ -40,6 +43,13 @@ def main() -> None:
     bt, per = 32, 0.1406
     reps = 3 if quick else 10
     key = jax.random.key(0)
+    # Round 3: constant-topology unrolled encode + peel unless disabled.
+    unroll = "--dynamic" not in sys.argv
+    enc_topo = static_enc_topology(arrays, code.k) if unroll else None
+    peel_topo = static_topology(arrays) if unroll else None
+    peel_kw = (
+        dict(schedule="unrolled", static_topo=peel_topo) if unroll else {}
+    )
 
     def digest32(x):
         return jnp.bitwise_xor.reduce(
@@ -58,44 +68,57 @@ def main() -> None:
               flush=True)
         return dt
 
+    def draw_src(k):
+        # Draw the random source as uint32 words and bitcast to bytes: the
+        # uint8 RNG path generates 4x the Threefry outputs for the same
+        # payload (measured 19.4 ms of the 49 ms NB step at B=512).
+        w32 = jax.random.bits(k, (b, code.k, wb // 4), dtype=jnp.uint32)
+        return jax.lax.bitcast_convert_type(w32, jnp.uint8).reshape(
+            b, code.k, wb
+        )
+
     @jax.jit
     def src_only(k):
-        src = jax.random.bits(k, (b, code.k, wb), dtype=jnp.uint8)
+        src = draw_src(k)
         return digest32(src.astype(jnp.uint32))
 
     @jax.jit
     def enc_only(k):
-        src = jax.random.bits(k, (b, code.k, wb), dtype=jnp.uint8)
+        src = draw_src(k)
         cw = encode_packed_vmem(
-            arrays, src, gf_order=256, b_tile=bt, tiled_out=True
+            arrays, src, gf_order=256, b_tile=bt, tiled_out=True,
+            static_topo=enc_topo,
         )
         return digest32(cw)
 
     @jax.jit
     def enc_dec(k):
         k_src, k_ch = jax.random.split(k)
-        src = jax.random.bits(k_src, (b, code.k, wb), dtype=jnp.uint8)
+        src = draw_src(k_src)
         cw = encode_packed_vmem(
-            arrays, src, gf_order=256, b_tile=bt, tiled_out=True
+            arrays, src, gf_order=256, b_tile=bt, tiled_out=True,
+            static_topo=enc_topo,
         )
         mask = ch.iid_erasures(k_ch, (b, code.n), per)
         v, e, iters = peel_decode_vmem(
             arrays, cw, mask, max_iters=50, gf_order=256, b_tile=bt,
-            tiled=True, early_stop_k=code.k,
+            tiled=True, early_stop_k=code.k, **peel_kw,
         )
         return digest32(v), jnp.sum(e[:, : code.k])
 
     @jax.jit
     def enc_hyb(k):
         k_src, k_ch = jax.random.split(k)
-        src = jax.random.bits(k_src, (b, code.k, wb), dtype=jnp.uint8)
+        src = draw_src(k_src)
         cw = encode_packed_vmem(
-            arrays, src, gf_order=256, b_tile=bt, tiled_out=True
+            arrays, src, gf_order=256, b_tile=bt, tiled_out=True,
+            static_topo=enc_topo,
         )
         mask = ch.iid_erasures(k_ch, (b, code.n), per)
         v, e, iters, failed = hybrid_decode(
             arrays, cw, mask, gf_order=256, peel_iters=10, emax=128,
             impl="vmem", ge_subbatch=64, b_tile=bt, tiled=True,
+            static_topo=peel_topo,
         )
         return digest32(v), jnp.sum(failed)
 

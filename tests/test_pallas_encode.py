@@ -144,3 +144,31 @@ def test_tiled_encode_decode_chain():
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_unrolled_matches_dynamic():
+    """static_topo (constant-topology unrolled back-substitution) ==
+    the dynamic-table kernel, binary and GF(256), flat and tiled_out."""
+    from ldpc_erasure_codes_tpu.ops.pallas_encode import static_enc_topology
+
+    for gf in (2, 256):
+        code = toy_code(n=96, k=64, seed=3, gf_order=gf)
+        arrays = device_arrays(code)
+        key = jax.random.key(7)
+        if gf == 2:
+            src = jax.random.bits(key, (6, code.k, 8), dtype=jnp.uint32)
+        else:
+            src = jax.random.randint(key, (6, code.k, 8), 0, 256,
+                                     dtype=jnp.uint8)
+        topo = static_enc_topology(arrays, code.k)
+        for kw in (dict(), dict(tiled_out=True)):
+            a = encode_packed_vmem(
+                arrays, src, gf_order=gf, b_tile=2, interpret=True, **kw
+            )
+            u = encode_packed_vmem(
+                arrays, src, gf_order=gf, b_tile=2, interpret=True,
+                static_topo=topo, **kw,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(u), err_msg=f"gf={gf} {kw}"
+            )
