@@ -346,6 +346,7 @@ def cmd_stream(args) -> int:
         "blocks_failed": r.blocks_failed,
         "packets_per_sec": round(r.packets_per_sec, 1),
         "payload_gbps": round(r.payload_gbps, 3),
+        "transfer_complete": r.transfer_complete,
         "assembler": r.stats,
     }
     if r.vita_stats is not None:

@@ -98,8 +98,17 @@ def load_native() -> ctypes.CDLL | None:
         ctypes.c_int, c_u8p, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_int,
     ]
+    lib.ldpc_udp_send_gso.argtypes = lib.ldpc_udp_send_burst.argtypes
+    lib.ldpc_udp_send_gso_gather.argtypes = [
+        ctypes.c_int, c_u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_longlong, c_i64p, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int,
+    ]
     lib.ldpc_udp_recv_burst.argtypes = [
         ctypes.c_int, c_u8p, ctypes.c_int, ctypes.c_int, c_i32p,
+    ]
+    lib.ldpc_udp_recv_gro.argtypes = [
+        ctypes.c_int, c_u8p, ctypes.c_int, ctypes.c_int, c_i32p, c_i32p,
     ]
     return lib
 
@@ -325,6 +334,77 @@ def udp_send_burst(
     return rc
 
 
+_GSO_BROKEN = False  # latched after one kernel-rejects-GSO failure
+
+
+def udp_send_gso(
+    fd: int, pkts: np.ndarray, ip: str, port: int
+) -> int | None:
+    """GSO burst transmit: one UDP_SEGMENT super-payload per up-to-61
+    consecutive datagrams (zero-copy into the packet matrix), sendmmsg'd
+    128 super-payloads per syscall — one skb traverses the UDP stack per
+    GROUP, lifting the per-datagram stack cost that bounds plain sendmmsg.
+    Falls back to :func:`udp_send_burst` (and latches the fallback) on
+    kernels without UDP GSO. Returns datagrams sent, or None when the
+    native library is unavailable."""
+    global _GSO_BROKEN
+    lib = load_native()
+    if lib is None:
+        return None
+    pkts = np.ascontiguousarray(pkts, dtype=np.uint8)
+    npkts, psize = pkts.shape
+    if npkts == 0:
+        return 0
+    if not _GSO_BROKEN:
+        rc = lib.ldpc_udp_send_gso(
+            fd, _ptr(pkts, ctypes.c_uint8), npkts, psize, ip.encode(), port
+        )
+        if rc >= 0:
+            return rc
+        _GSO_BROKEN = True  # e.g. EIO/EINVAL: no GSO on this kernel/path
+    return udp_send_burst(fd, pkts, ip, port)
+
+
+def udp_send_blocks_gso(
+    fd: int,
+    blocks: np.ndarray,
+    order: np.ndarray,
+    ip: str,
+    port: int,
+    *,
+    class_code: int = 0,
+    first_block_num: int = 0,
+) -> int | None:
+    """Fused packetize + GSO transmit: the kernel gathers each datagram as
+    [FEC header | payload row] straight out of the (b, n, sb) block matrix
+    via per-segment iovecs — no user-space packet matrix is materialized
+    (allocating one measured 0.16 GB/s on first touch, the TX bottleneck
+    at 1 KB symbols). ``order`` expresses loss/shuffle as in
+    :func:`tx_packetize`. Returns datagrams sent, or None when the native
+    library is unavailable or the kernel lacks UDP GSO (caller falls back
+    to the packetize path)."""
+    global _GSO_BROKEN
+    lib = load_native()
+    if lib is None or _GSO_BROKEN:
+        return None
+    blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
+    b, n, sb = blocks.shape
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    if len(order) == 0:
+        return 0
+    rc = lib.ldpc_udp_send_gso_gather(
+        fd, _ptr(blocks, ctypes.c_uint8), b, n, sb,
+        class_code, first_block_num,
+        _ptr(order, ctypes.c_longlong), len(order), ip.encode(), port,
+    )
+    if rc >= 0:
+        return rc
+    if rc == -1:
+        raise ValueError("udp_send_blocks_gso: order index out of range")
+    _GSO_BROKEN = True
+    return None
+
+
 def udp_recv_burst(
     fd: int, buf: np.ndarray, sizes: np.ndarray
 ) -> int | None:
@@ -342,6 +422,26 @@ def udp_recv_burst(
     )
     if rc < 0:
         raise OSError(f"ldpc_udp_recv_burst failed (errno {-rc})")
+    return rc
+
+
+def udp_recv_gro(
+    fd: int, buf: np.ndarray, sizes: np.ndarray, segs: np.ndarray
+) -> int | None:
+    """GRO-aware drain: each filled row of the (max_chunks, stride) uint8
+    ``buf`` may hold a kernel-coalesced run of equal-size datagrams (the RX
+    mirror of :func:`udp_send_gso`). ``sizes[i]`` = chunk bytes, ``segs[i]``
+    = segment size from the UDP_GRO cmsg (0 = ordinary datagram). Returns
+    chunks drained, or None when the native library is unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    rc = lib.ldpc_udp_recv_gro(
+        fd, _ptr(buf, ctypes.c_uint8), buf.shape[0], buf.shape[1],
+        _ptr(sizes, ctypes.c_int32), _ptr(segs, ctypes.c_int32),
+    )
+    if rc < 0:
+        raise OSError(f"ldpc_udp_recv_gro failed (errno {-rc})")
     return rc
 
 

@@ -42,6 +42,19 @@ from ldpc_erasure_codes_tpu.utils.streaming import (
 )
 
 
+def set_rcvbuf(sock: socket.socket, nbytes: int) -> int:
+    """Size a socket receive buffer, exceeding ``net.core.rmem_max`` when
+    privileged (SO_RCVBUFFORCE needs CAP_NET_ADMIN; plain SO_RCVBUF is
+    silently capped at rmem_max — 4 MB here, ~100 ms of queue at the native
+    sender's rate). Returns the size actually granted."""
+    so_rcvbufforce = getattr(socket, "SO_RCVBUFFORCE", 33)
+    try:
+        sock.setsockopt(socket.SOL_SOCKET, so_rcvbufforce, nbytes)
+    except OSError:
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, nbytes)
+    return sock.getsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF)
+
+
 def send_blocks(
     sock: socket.socket,
     addr: tuple[str, int],
@@ -52,6 +65,8 @@ def send_blocks(
     loss: float = 0.0,
     shuffle: bool = False,
     seed: int = 0,
+    window: int = 0,
+    feedback=None,
 ) -> int:
     """Packetize and transmit encoded blocks (B, n, symbol_bytes) uint8.
 
@@ -66,22 +81,55 @@ def send_blocks(
     ``sendto`` loop measured 67.3k pkts/s and was the end-to-end bottleneck
     (VALIDATION.md); the reference's TX side is line-rate hardware
     (ldpc_erasure_encoder_VITA_in_UDP_out.cl:84-136).
+
+    ``window`` + ``feedback`` add application-level flow control for
+    loopback runs: at most ``window`` datagrams are in flight beyond what
+    ``feedback()`` (the receiver's drained-datagram count) has confirmed —
+    without it the sendmmsg burst outruns the RX drain and the kernel
+    drops at the socket queue once the stream exceeds the receive buffer
+    (loss injection happens *before* transmission, so every transmitted
+    datagram is expected to arrive on a loopback).
     """
     rng = np.random.default_rng(seed)
+    blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
     b, n, _sb = blocks.shape
     order = np.arange(b * n, dtype=np.int64)
     if loss > 0.0:
         order = order[rng.random(b * n) >= loss]
     if shuffle:
         rng.shuffle(order)
-    pkts = native.tx_packetize(
-        blocks, order, class_code=class_code, first_block_num=first_block_num
-    )
-    sent = native.udp_send_burst(sock.fileno(), pkts, addr[0], addr[1])
-    if sent is None:  # no native toolchain: plain sendto loop
-        for p in pkts:
-            sock.sendto(p.tobytes(), addr)
-        sent = len(pkts)
+
+    def send_slice(order_slice: np.ndarray) -> int:
+        cnt = native.udp_send_blocks_gso(
+            sock.fileno(), blocks, order_slice, addr[0], addr[1],
+            class_code=class_code, first_block_num=first_block_num,
+        )
+        if cnt is not None:
+            return cnt
+        # No native toolchain / no kernel GSO: materialized packet matrix.
+        pkts = native.tx_packetize(
+            blocks, order_slice, class_code=class_code,
+            first_block_num=first_block_num,
+        )
+        cnt = native.udp_send_burst(sock.fileno(), pkts, addr[0], addr[1])
+        if cnt is None:  # plain per-datagram Python loop
+            for p in pkts:
+                sock.sendto(p.tobytes(), addr)
+            cnt = len(pkts)
+        return cnt
+
+    if not window or feedback is None:
+        return send_slice(order)
+    base = feedback()
+    sent = 0
+    for lo in range(0, len(order), window):
+        sent += send_slice(order[lo : lo + window])
+        deadline = time.monotonic() + 5.0
+        while (
+            sent - (feedback() - base) > window
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.0002)
     return sent
 
 
@@ -98,12 +146,24 @@ class UdpReceiver:
         *,
         host: str = "127.0.0.1",
         port: int = 0,
-        rcvbuf: int = 1 << 22,
+        rcvbuf: int = 1 << 26,
         burst: int = 256,
     ):
         self.assembler = assembler
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, rcvbuf)
+        self.rcvbuf = set_rcvbuf(self._sock, rcvbuf)
+        # UDP_GRO: the kernel hands the drain whole GSO super-chunks (up to
+        # 61 datagrams per recv on loopback) instead of re-segmenting —
+        # the RX mirror of the sender's UDP_SEGMENT path.
+        self._gro = False
+        if native.have_native():
+            try:
+                self._sock.setsockopt(
+                    socket.IPPROTO_UDP, getattr(socket, "UDP_GRO", 104), 1
+                )
+                self._gro = True
+            except OSError:  # pragma: no cover - kernel-dependent
+                pass
         self._sock.bind((host, port))
         self._sock.settimeout(0.05)
         self.addr = self._sock.getsockname()
@@ -129,6 +189,9 @@ class UdpReceiver:
 
     def _run(self) -> None:
         size = HEADER_BYTES + self.assembler.symbol_bytes
+        if self._gro:
+            self._run_gro(size)
+            return
         if native.have_native():
             self._run_native(size)
             return
@@ -153,6 +216,54 @@ class UdpReceiver:
                 else:
                     self._flush_burst_locked()  # preserve arrival order
                     self.assembler.push(data)
+
+    def _run_gro(self, size: int) -> None:
+        """GRO-chunk drain: one recvmmsg row may carry a kernel-coalesced
+        run of up to 61 equal-size datagrams, which IS the assembler burst
+        API's packet-matrix layout — a whole GSO send flows kernel -> buf
+        row -> native assembler with one FFI call and no per-datagram
+        Python work."""
+        import select
+
+        cap = 64
+        buf = np.empty((cap, 65536 + 128), dtype=np.uint8)
+        sizes = np.empty(cap, dtype=np.int32)
+        segs = np.empty(cap, dtype=np.int32)
+        fd = self._sock.fileno()
+        burstable = hasattr(self.assembler, "push_burst")
+        while not self._stop.is_set():
+            try:
+                ready, _, _ = select.select([self._sock], [], [], 0.05)
+            except (OSError, ValueError):
+                break
+            if not ready:
+                continue
+            try:
+                n = native.udp_recv_gro(fd, buf, sizes, segs)
+            except OSError:
+                break
+            if not n:
+                continue
+            with self._lock:
+                for i in range(n):
+                    ln = int(sizes[i])
+                    seg = int(segs[i]) or ln
+                    if seg == size and ln % size == 0:
+                        cnt = ln // size
+                        rows = buf[i, :ln].reshape(cnt, size)
+                        if burstable:
+                            self.assembler.push_burst(rows)
+                        else:
+                            for r in range(cnt):
+                                self.assembler.push(bytes(rows[r]))
+                        self.datagrams += cnt
+                    else:  # odd-size datagram(s): split at the cmsg size
+                        pos = 0
+                        while pos < ln:
+                            end = min(pos + seg, ln)
+                            self.assembler.push(bytes(buf[i, pos:end]))
+                            self.datagrams += 1
+                            pos = end
 
     def _run_native(self, size: int) -> None:
         """recvmmsg burst drain (round 3): one syscall per 512 datagrams
@@ -237,6 +348,7 @@ class StreamResult:
     stats: dict
     vita_stats: dict | None = None
     payload_gbps: float = 0.0  # received payload bits / transfer wall time
+    transfer_complete: bool = True  # every transmitted datagram arrived
 
 
 def _vita_leg(
@@ -255,7 +367,7 @@ def _vita_leg(
     emitter = VitaEmitter(stream_id, data_per_context=data_per_context)
     ingest = VitaIngest(expected_stream_id=stream_id)
     rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 22)
+    set_rcvbuf(rx, 1 << 26)
     rx.bind(("127.0.0.1", 0))
     rx.settimeout(0.05)
     tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -296,7 +408,7 @@ def _vita_leg(
         def send_range(lo: int, hi: int) -> int:
             if hi <= lo:
                 return 0
-            sent = native.udp_send_burst(
+            sent = native.udp_send_gso(
                 tx.fileno(), pkts[lo:hi], addr[0], addr[1]
             )
             if sent is None:  # no native toolchain
@@ -402,12 +514,20 @@ def loopback_demo(
         )
     rx = UdpReceiver(asm)
     tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    # Flow control: cap in-flight datagrams at half the granted receive
+    # queue so the native sendmmsg burst (which outruns the RX drain) never
+    # overflows it — loopback transport is lossless, so any kernel drop is
+    # a self-inflicted measurement artifact, not channel loss.
+    window = max(512, rx.rcvbuf // (2 * (HEADER_BYTES + sb)))
     t0 = time.perf_counter()
     sent = send_blocks(
-        tx, rx.addr, wire, loss=loss, shuffle=shuffle, seed=seed + 1
+        tx, rx.addr, wire, loss=loss, shuffle=shuffle, seed=seed + 1,
+        window=window, feedback=lambda: rx.datagrams,
     )
-    rx.wait_for(sent, timeout=30.0)
-    send_dt = time.perf_counter() - t0
+    complete = rx.wait_for(sent, timeout=30.0)
+    # Transfer time = send start -> last datagram observed (not the timeout
+    # wait): poll granularity is wait_for's 5 ms sleep.
+    transfer_dt = time.perf_counter() - t0
     tx.close()
     rx.flush()
     nums, vals, erased = rx.drain()
@@ -436,11 +556,12 @@ def loopback_demo(
         packets_received=received,
         blocks_recovered=recovered,
         blocks_failed=int(failed.sum()),
-        send_seconds=send_dt,
-        packets_per_sec=received / send_dt if send_dt > 0 else 0.0,
+        send_seconds=transfer_dt,
+        packets_per_sec=received / transfer_dt if transfer_dt > 0 else 0.0,
         stats=dict(asm.stats),
         vita_stats=vita_stats,
         payload_gbps=(
-            received * sb * 8 / send_dt / 1e9 if send_dt > 0 else 0.0
+            received * sb * 8 / transfer_dt / 1e9 if transfer_dt > 0 else 0.0
         ),
+        transfer_complete=complete,
     )

@@ -64,10 +64,17 @@ def main() -> None:
         return sent
 
     def native_send(tx, addr):
+        pkts = native.tx_packetize(
+            data, np.arange(npkts, dtype=np.int64)
+        )
+        return native.udp_send_burst(tx.fileno(), pkts, addr[0], addr[1])
+
+    def gso_send(tx, addr):
         return send_blocks(tx, addr, data, loss=0.0, shuffle=False)
 
     run("python per-datagram sendto", py_send)
     run("native packetize+sendmmsg", native_send)
+    run("native packetize+GSO", gso_send)
     # Packetization alone (no socket): the C pass cost.
     order = np.arange(npkts, dtype=np.int64)
     t0 = time.perf_counter()
