@@ -164,9 +164,9 @@ def ge_solve_packed(
     the (B, m+emax, W)-word right-hand side through HBM once per pivot
     (~W*4 bytes per row per pivot — the dominant cost at GE-hot operating
     points, VERDICT r2 weak #3). Here the pivot loop carries only the packed
-    coefficient matrix [A | T] — A's emax columns plus an identity block T
-    tracking the accumulated row ops, ceil((emax+m+emax)/32) uint32 words
-    per row, ~10x less per-pivot traffic at the production shapes — and the
+    coefficient matrix [A | T] — m rows of A's emax columns plus an identity
+    block T tracking the accumulated row ops, ceil((emax+m)/32) uint32 words
+    per row, ~30x less per-pivot traffic at the production shapes — and the
     wide values are touched exactly once at the end: the solved symbols are
     ``x = T_top . rhs`` over GF(2), computed as a bit-plane int8 MXU matmul
     (chunked over the symbol width to bound the unpacked intermediate).
@@ -187,29 +187,34 @@ def ge_solve_packed(
         raise ValueError("ge_solve_packed needs wide (B, n, W) uint32 values")
     er_idx, real, nreal = erased_indices(erased, emax)
     overflow = nreal > emax
-    mm = m + emax
     wa = -(-emax // 32)
-    wt = -(-mm // 32)
+    wt = -(-m // 32)
 
-    # [A | T]: A = erased columns of H + virtual unit columns for pad slots
-    # (identical construction to ge_solve); T = I tracking the row ops.
+    # [A | T]: A = erased columns of H (pad slots are all-zero columns);
+    # T = I tracking the row ops. Unlike ge_solve, NO virtual unit rows are
+    # carried for the pad slots: a pad column simply finds no pivot (its
+    # candidates are empty), which `failed` already ignores (col >= nreal)
+    # and `writable` masks out of the scatter. Virtual rows are zero in
+    # every real column and real pivots never touch them, so dropping them
+    # changes no pivot choice, no failure flag, and no solved value — it
+    # just removes emax dead rows (and halves T) from every elimination
+    # pass: (m+emax) x (wa + ceil((m+emax)/32)) -> m x (wa + ceil(m/32))
+    # words per frame per pivot (~3x less traffic at the GE-hot shapes).
     a_top = jnp.take(arrays.h.astype(jnp.uint8), er_idx, axis=1)  # (m, B, E)
-    a_top = jnp.transpose(a_top, (1, 0, 2)) * real[:, None, :].astype(jnp.uint8)
-    eye = jnp.eye(emax, dtype=jnp.uint8)[None] * (~real)[:, None, :].astype(
+    a_bits = jnp.transpose(a_top, (1, 0, 2)) * real[:, None, :].astype(
         jnp.uint8
-    )
-    a_bits = jnp.concatenate([a_top, eye], axis=1)  # (B, M, emax)
+    )  # (B, m, emax)
     a_pk = _bits_to_words(
         jnp.pad(a_bits, ((0, 0), (0, 0), (0, wa * 32 - emax)))
-    )  # (B, M, wa)
+    )  # (B, m, wa)
     t_pk = _bits_to_words(
-        jnp.pad(jnp.eye(mm, dtype=jnp.uint8), ((0, 0), (0, wt * 32 - mm)))
-    )  # (M, wt)
+        jnp.pad(jnp.eye(m, dtype=jnp.uint8), ((0, 0), (0, wt * 32 - m)))
+    )  # (m, wt)
     r = jnp.concatenate(
-        [a_pk, jnp.broadcast_to(t_pk[None], (b, mm, wt))], axis=2
-    )  # (B, M, wa+wt) uint32
+        [a_pk, jnp.broadcast_to(t_pk[None], (b, m, wt))], axis=2
+    )  # (B, m, wa+wt) uint32
 
-    row_iota = jnp.arange(mm, dtype=jnp.int32)[None, :]
+    row_iota = jnp.arange(m, dtype=jnp.int32)[None, :]
 
     def getcol(r, col):
         w = jax.lax.dynamic_index_in_dim(r, col >> 5, axis=2, keepdims=False)
@@ -223,7 +228,7 @@ def ge_solve_packed(
     # no unused nonzero row is rank deficiency either way), and the solution
     # of every solvable frame is the same (tested vs ge_solve). Cuts the
     # per-pivot full-matrix passes from ~5 to ~2.
-    used0 = jnp.zeros((b, mm), dtype=bool)
+    used0 = jnp.zeros((b, m), dtype=bool)
     pivrow0 = jnp.zeros((b, emax), dtype=jnp.int32)
 
     def step(col, carry):
@@ -316,8 +321,8 @@ def ge_solve_wide_nb(
 
     The GF(256) analog of :func:`ge_solve_packed`: the pivot loop eliminates
     the NARROW augmented system [A | T] (A = erased coefficient columns, T =
-    identity tracking the accumulated row ops — (B, m+emax, emax+m+emax)
-    bytes) and never touches the wide payloads; the wide values are handled
+    identity tracking the accumulated row ops — (B, m, emax+m) bytes) and
+    never touches the wide payloads; the wide values are handled
     by exactly two MXU passes at the end:
 
     * syndrome ``rhs = H_nb . y_known`` as a bit-plane int8 matmul against
@@ -342,27 +347,25 @@ def ge_solve_wide_nb(
         raise ValueError("ge_solve_wide_nb needs wide (B, n, W) uint8 values")
     er_idx, real, nreal = erased_indices(erased, emax)
     overflow = nreal > emax
-    mm = m + emax
 
+    # No virtual unit rows for pad slots (see ge_solve_packed): pad columns
+    # are all-zero, find no pivot, and are masked out of the scatter — so
+    # the elimination carries only the m real check rows and T = I(m).
     a_top = jnp.take(arrays.h_nb, er_idx, axis=1)  # (m, B, emax)
-    a_top = jnp.transpose(a_top, (1, 0, 2)) * real[:, None, :].astype(
+    a = jnp.transpose(a_top, (1, 0, 2)) * real[:, None, :].astype(
         jnp.uint8
-    )
-    eye = jnp.eye(emax, dtype=jnp.uint8)[None] * (~real)[:, None, :].astype(
-        jnp.uint8
-    )
-    a = jnp.concatenate([a_top, eye], axis=1)  # (B, M, emax)
-    t0 = jnp.broadcast_to(jnp.eye(mm, dtype=jnp.uint8)[None], (b, mm, mm))
-    r = jnp.concatenate([a, t0], axis=2)  # (B, M, emax + M)
+    )  # (B, m, emax)
+    t0 = jnp.broadcast_to(jnp.eye(m, dtype=jnp.uint8)[None], (b, m, m))
+    r = jnp.concatenate([a, t0], axis=2)  # (B, m, emax + m)
 
-    row_iota = jnp.arange(mm, dtype=jnp.int32)[None, :]
+    row_iota = jnp.arange(m, dtype=jnp.int32)[None, :]
 
     # Swap-free elimination (see ge_solve_packed): a `used` mask + recorded
     # pivot-row indices replace the physical row swap's two full-matrix
     # select passes per pivot. Unlike the binary path the normalized pivot
     # row must be written back (one masked pass), since the end-state pivot
     # rows ARE the transform.
-    used0 = jnp.zeros((b, mm), dtype=bool)
+    used0 = jnp.zeros((b, m), dtype=bool)
     pivrow0 = jnp.zeros((b, emax), dtype=jnp.int32)
 
     def step(col, carry):
@@ -398,9 +401,9 @@ def ge_solve_wide_nb(
     )
     rhs = gf.bits_to_bytes(acc & 1)  # (B, W, m) bytes
 
-    # x = T[pivot rows] . rhs (virtual rows' rhs is zero => first m T cols).
+    # x = T[pivot rows] . rhs.
     t_top = jnp.take_along_axis(
-        r[:, :, emax : emax + m], pivrow[:, :, None], axis=1
+        r[:, :, emax:], pivrow[:, :, None], axis=1
     )  # (B, emax, m)
     tt_img = _bit_image_dev(jnp.transpose(t_top, (0, 2, 1)))  # (B, 8m, 8emax)
     rb = gf.bytes_to_bits(rhs)  # (B, W, 8m)

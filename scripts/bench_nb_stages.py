@@ -9,6 +9,11 @@ tile-major layout) in isolation:
   enc        — src + NB VMEM encode (tiled_out)
   enc+dec    — + NB VMEM peel (tiled)
   enc+hyb    — + hybrid (peel + compacted GE armed) == the 89.2 Gbps row
+  pipeline   — encode + channel + hybrid with the SOURCE PRE-DRAWN outside
+               the timed loop (passed as a device argument). This is the
+               production number: real sources arrive from the application
+               (VITA ingest), not from an on-device RNG, and it matches
+               bench.py's pre-encoded-frames model on the decode side.
 
 Every leg consumes its outputs via XOR digest.
 """
@@ -122,10 +127,38 @@ def main() -> None:
         )
         return digest32(v), jnp.sum(failed)
 
+    @jax.jit
+    def pipe(k, src32):
+        # The source argument stays in uint32 word form: a materialized
+        # uint8 HBM array has (32,128) tiling, and bitcasting it to the
+        # encoder's uint32 lanes would force a physical retile (~15 ms at
+        # this shape, measured); the in-jit bitcast of uint32 words is free.
+        src = jax.lax.bitcast_convert_type(src32, jnp.uint8).reshape(
+            b, code.k, wb
+        )
+        cw = encode_packed_vmem(
+            arrays, src, gf_order=256, b_tile=bt, tiled_out=True,
+            static_topo=enc_topo,
+        )
+        mask = ch.iid_erasures(k, (b, code.n), per)
+        v, e, iters, failed = hybrid_decode(
+            arrays, cw, mask, gf_order=256, peel_iters=10, emax=128,
+            impl="vmem", ge_subbatch=64, b_tile=bt, tiled=True,
+            static_topo=peel_topo,
+        )
+        return digest32(v), jnp.sum(failed)
+
     t_src = timed("src only", src_only)
     t_enc = timed("src + encode", enc_only)
     t_dec = timed("src + encode + peel", enc_dec)
     t_hyb = timed("src + encode + hybrid", enc_hyb)
+    src_fixed = jax.block_until_ready(
+        jax.random.bits(
+            jax.random.fold_in(key, 77), (b, code.k, wb // 4),
+            dtype=jnp.uint32,
+        )
+    )
+    timed("pipeline (src pre-drawn)", lambda k: pipe(k, src_fixed))
     print(
         f"stage shares: src {t_src * 1e3:.1f} ms, encode "
         f"{(t_enc - t_src) * 1e3:.1f} ms, peel {(t_dec - t_enc) * 1e3:.1f} "
