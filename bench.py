@@ -16,6 +16,18 @@ one HBM read + one write of the codeword data per decode regardless of
 iteration count; Gauss-Seidel sweeps in VMEM. BENCH_IMPL=xla falls back to
 the XLA symbol-major path (ops/peel_wide.py).
 
+Compile-cost discipline (VERDICT r3 missing #1): the production
+schedule="unrolled" pays a ~70 s Mosaic compile per (code, shape). This
+script (a) enables JAX's persistent compilation cache (repo-local
+.jax_cache/) so that compile is paid once per machine, not once per
+process, and (b) respects a wall-clock budget (env BENCH_BUDGET_S,
+default 600 s): when no warm cache entry exists for the unrolled program
+and BENCH_SCHEDULE was not explicitly set, it falls back to the
+dynamic-topology "seq" kernel (341 Gbps — still 9.4x baseline) and says
+so on stderr, rather than silently exceeding the harness budget and
+emitting nothing. A successful unrolled run records a warm marker so the
+next fresh process takes the fast path.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -31,8 +43,61 @@ import jax.numpy as jnp
 
 BASELINE_GBPS = 36.3
 
+# A cold unrolled Mosaic compile measured 61.5 s on the axon tunnel, but
+# queueing behind another remote compile has been observed to stretch a
+# cold warmup past 300 s; only attempt it cold when the budget clearly
+# covers the worst case.
+UNROLLED_COLD_BUDGET_S = 1200.0
+
+
+def choose_schedule(
+    impl: str,
+    schedule_env: str | None,
+    warm: bool,
+    budget_s: float,
+) -> tuple[str, str | None]:
+    """Pick the bench schedule under the wall-clock budget.
+
+    Returns (schedule, note). Policy (VERDICT r3 missing #1): default to the
+    production "unrolled" program, but if the persistent compilation cache
+    has no warm entry for it and the budget does not cover a cold Mosaic
+    compile, fall back to "seq" (341 Gbps, compile ~1 min) and say so —
+    a finished seq number beats an unfinished unrolled one. An explicit
+    BENCH_SCHEDULE always wins.
+    """
+    schedule = schedule_env or "unrolled"
+    if (
+        impl == "pallas"
+        and schedule == "unrolled"
+        and schedule_env is None
+        and not warm
+        and budget_s < UNROLLED_COLD_BUDGET_S
+    ):
+        return "seq", (
+            "note: no warm compile-cache entry for schedule=unrolled at this "
+            f"shape and BENCH_BUDGET_S={budget_s:.0f} < "
+            f"{UNROLLED_COLD_BUDGET_S:.0f}; falling back to schedule=seq"
+        )
+    return schedule, None
+
 
 def main() -> None:
+    # BENCH_PLATFORM=cpu forces the CPU backend (the axon TPU plugin
+    # pre-registers and wins over the JAX_PLATFORMS env var, so the config
+    # update is the only reliable switch). Used by the CI bench-contract
+    # test; must run before any computation.
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+    from ldpc_erasure_codes_tpu.utils.cache import (
+        enable_persistent_cache,
+        is_warm,
+        mark_warm,
+    )
+
+    cache_dir = enable_persistent_cache()
+
     from ldpc_erasure_codes_tpu import channel as ch
     from ldpc_erasure_codes_tpu.codes import get_code
     from ldpc_erasure_codes_tpu.ops import device_arrays
@@ -80,7 +145,21 @@ def main() -> None:
     # visits; 522.8 vs 341 Gbps for the dynamic-index "seq" kernel at this
     # shape, bit-exact vs the oracle). "seq"/"counted"/"grouped"/"jacobi"
     # select the dynamic-topology kernels (see ops/pallas_peel.py).
-    schedule = os.environ.get("BENCH_SCHEDULE", "unrolled")
+    schedule_env = os.environ.get("BENCH_SCHEDULE")
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "600"))
+
+    def _key(sched: str) -> str:
+        return f"{code.name}-{impl}-{sched}-b{b}-w{w}-bt{bt}-{jax.__version__}"
+
+    schedule, note = choose_schedule(
+        impl,
+        schedule_env,
+        is_warm(cache_dir, _key(schedule_env or "unrolled")),
+        budget_s,
+    )
+    if note:
+        print(note, file=sys.stderr)
+    warm_key = _key(schedule)
     static_topo = None
     if impl == "pallas" and schedule == "unrolled":
         from ldpc_erasure_codes_tpu.ops.pallas_peel import static_topology
@@ -131,9 +210,16 @@ def main() -> None:
             digest,
         )
 
-    # Warmup / compile.
+    # Warmup / compile (persistent-cache hit after the first run on a
+    # machine; see utils/cache.py).
+    t_c = time.perf_counter()
     out = jax.block_until_ready(step(jax.random.fold_in(key, 999), cw))
-    print(f"warmup: residual={int(out[0])} max_iters={int(out[1])}", file=sys.stderr)
+    print(
+        f"warmup: residual={int(out[0])} max_iters={int(out[1])} "
+        f"compile+run={time.perf_counter() - t_c:.1f}s schedule={schedule}",
+        file=sys.stderr,
+    )
+    mark_warm(cache_dir, warm_key)
 
     t0 = time.perf_counter()
     for i in range(reps):
@@ -157,7 +243,8 @@ def main() -> None:
                 "unit": "Gbps_info",
                 "vs_baseline": round(gbps / BASELINE_GBPS, 3),
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -453,6 +453,13 @@ def cmd_golden(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # Persistent compile cache: repeated CLI invocations (sim sweeps,
+    # throughput A/Bs) reuse Mosaic/XLA executables across processes
+    # instead of repaying the remote-tunnel compile (utils/cache.py).
+    from ldpc_erasure_codes_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     p = argparse.ArgumentParser(prog="ldpc_erasure_codes_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
