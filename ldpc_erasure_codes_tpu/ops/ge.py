@@ -35,8 +35,15 @@ import jax
 import jax.numpy as jnp
 
 from ldpc_erasure_codes_tpu import gf
+from ldpc_erasure_codes_tpu.gf.ops import _xtime_packed
+from ldpc_erasure_codes_tpu.gf.tables import DEFAULT_PRIM_POLY
 from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
 from ldpc_erasure_codes_tpu.ops.peel import _pad_n, _xor_reduce
+
+
+def _xtime_packed_u32(v: jax.Array) -> jax.Array:
+    """SWAR multiply-by-x of four packed GF(256) bytes per uint32 lane."""
+    return _xtime_packed(v, DEFAULT_PRIM_POLY)
 
 
 def erased_indices(erased: jax.Array, emax: int) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -267,7 +274,7 @@ def ge_solve_packed(
             t_bits,
             rb,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
+            preferred_element_type=jnp.int8,  # mod-256 wrap keeps the parity
         )  # (B, emax, 32wc)
         xs.append(_bits_to_words(acc & 1))
     x = jnp.concatenate(xs, axis=2) if len(xs) > 1 else xs[0]
@@ -284,10 +291,53 @@ def ge_solve_packed(
     return values, erased, failed
 
 
+def _pack_bytes_words(x: jax.Array) -> jax.Array:
+    """Pack uint8 (..., 4C) -> uint32 (..., C), LSB-first byte order (the
+    wide-symbol packing convention)."""
+    c = x.shape[-1] // 4
+    xr = x.reshape(*x.shape[:-1], c, 4).astype(jnp.uint32)
+    weights = jnp.uint32(1) << (8 * jnp.arange(4, dtype=jnp.uint32))
+    return jnp.sum(xr * weights, axis=-1, dtype=jnp.uint32)
+
+
+def _unpack_words_bytes(w: jax.Array) -> jax.Array:
+    """Unpack uint32 (..., C) -> uint8 (..., 4C), LSB-first byte order."""
+    shifts = 8 * jnp.arange(4, dtype=jnp.uint32)
+    b = (w[..., None] >> shifts) & jnp.uint32(0xFF)
+    return b.reshape(*w.shape[:-1], w.shape[-1] * 4).astype(jnp.uint8)
+
+
 def _xtime8(v: jax.Array) -> jax.Array:
     """Multiply-by-x of uint8 GF(256) bytes (prim poly 0x171; the uint8 shift
     wraps mod 256, leaving only the polynomial reduction)."""
     return (v << 1) ^ ((v >> 7) * jnp.uint8(0x71))
+
+
+def _bit_image_dev_tpm(
+    mat: jax.Array, e_pad: int, m_pad: int
+) -> jax.Array:
+    """(B, e, m) uint8 -> (B, 64*e_pad, m_pad) int8 per-frame TRANSPOSED
+    PLANE-MAJOR binary images: out[b, (c*8 + r)*e_pad + i, j] = bit r of
+    (mat[b, i, j] * x^c) — the native operand layout of
+    ``ops.pallas_nbmm.gf_matmul_batched``, built with xtime chains, bit
+    broadcasts, pads, and ONE contiguous reshape. (Permuting the
+    :func:`_bit_image_dev` output into this layout instead costs a full
+    HBM relayout at the Pallas custom-call boundary — measured more than
+    the matmul it feeds.)"""
+    prods = [mat]
+    for _ in range(7):
+        prods.append(_xtime8(prods[-1]))
+    p = jnp.stack(prods, axis=1)  # (B, 8, e, m)
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (p[:, :, None, :, :] >> shifts[None, None, :, None, None]) & 1
+    b, _, _, e, m = bits.shape
+    bits = jnp.pad(
+        bits, ((0, 0), (0, 0), (0, 0), (0, e_pad - e), (0, m_pad - m))
+    )
+    # (A SWAR word-level bit extraction with bitcast re-views measured a
+    # ~8 ms REGRESSION here — the mixed-width bitcast chain costs a
+    # relayout at the consumer custom-call boundary.)
+    return bits.reshape(b, 64 * e_pad, m_pad).astype(jnp.int8)
 
 
 def _bit_image_dev(mat: jax.Array) -> jax.Array:
@@ -351,74 +401,161 @@ def ge_solve_wide_nb(
     # No virtual unit rows for pad slots (see ge_solve_packed): pad columns
     # are all-zero, find no pivot, and are masked out of the scatter — so
     # the elimination carries only the m real check rows and T = I(m).
+    #
+    # SWAR-packed, batch-on-lanes elimination (round 4): the [A | T] rows
+    # are stored as uint32 words holding FOUR GF(256) bytes each, in a
+    # (m, C, B) layout with the BATCH on the minor (lane) axis. Two
+    # measured motivations (docs/DESIGN.md GE anatomy — the byte cube was
+    # 16.4 ms of the 36.3 ms RS step at B=1024):
+    #
+    # * gf_mul_arith costs ~30 uint16 VPU ops per byte with one byte per
+    #   32-bit lane; packing quarters both the element count and the
+    #   per-product op count (the pivot row's eight xtime images are formed
+    #   once per step and every row's update is 8 mask-multiply-XOR passes
+    #   — double-and-add over the factor bits).
+    # * BUT a (B, m, C) layout wastes the win: C = ceil((emax+m)/4) is
+    #   ~32 words at the RS shapes, so the minor dim fills 32 of 128 lanes
+    #   and lane padding eats the 4x (measured: 16.4 -> 15.1 ms). With B on
+    #   the lane axis every pass runs full-width for B >= 128, and the
+    #   pivot-row gather becomes a one-hot masked reduction over m (rows
+    #   stay in sublanes).
+    #
+    # A is padded to a word boundary so T stays word-aligned. Pivot
+    # choices, failure flags, and the recovered transform are
+    # byte-identical to the unpacked formulation (tested vs ge_solve).
+    wa = -(-emax // 4)
+    wt = -(-m // 4)
     a_top = jnp.take(arrays.h_nb, er_idx, axis=1)  # (m, B, emax)
-    a = jnp.transpose(a_top, (1, 0, 2)) * real[:, None, :].astype(
+    a_mb = jnp.transpose(a_top, (0, 2, 1)) * jnp.transpose(real)[None].astype(
         jnp.uint8
-    )  # (B, m, emax)
-    t0 = jnp.broadcast_to(jnp.eye(m, dtype=jnp.uint8)[None], (b, m, m))
-    r = jnp.concatenate([a, t0], axis=2)  # (B, m, emax + m)
+    )  # (m, emax, B)
+    a_pad = jnp.pad(a_mb, ((0, 0), (0, wa * 4 - emax), (0, 0)))
+    weights = (jnp.uint32(1) << (8 * jnp.arange(4, dtype=jnp.uint32)))
+    a_pk = jnp.sum(
+        a_pad.reshape(m, wa, 4, b).astype(jnp.uint32)
+        * weights[None, None, :, None],
+        axis=2,
+        dtype=jnp.uint32,
+    )  # (m, wa, B)
+    t_pk = _pack_bytes_words(
+        jnp.pad(jnp.eye(m, dtype=jnp.uint8), ((0, 0), (0, wt * 4 - m)))
+    )  # (m, wt)
+    r = jnp.concatenate(
+        [a_pk, jnp.broadcast_to(t_pk[:, :, None], (m, wt, b))], axis=1
+    )  # (m, wa + wt, B) uint32
 
-    row_iota = jnp.arange(m, dtype=jnp.int32)[None, :]
+    row_iota = jnp.arange(m, dtype=jnp.int32)[:, None]  # (m, 1)
 
     # Swap-free elimination (see ge_solve_packed): a `used` mask + recorded
     # pivot-row indices replace the physical row swap's two full-matrix
     # select passes per pivot. Unlike the binary path the normalized pivot
     # row must be written back (one masked pass), since the end-state pivot
     # rows ARE the transform.
-    used0 = jnp.zeros((b, m), dtype=bool)
+    used0 = jnp.zeros((m, b), dtype=bool)
     pivrow0 = jnp.zeros((b, emax), dtype=jnp.int32)
 
     def step(col, carry):
         r, used, pivrow, failed = carry
-        colv = jax.lax.dynamic_index_in_dim(r, col, axis=2, keepdims=False)
+        colw = jax.lax.dynamic_index_in_dim(
+            r, col >> 2, axis=1, keepdims=False
+        )  # (m, B) uint32
+        sh = ((col & 3) * 8).astype(jnp.uint32)
+        colv = (colw >> sh) & jnp.uint32(0xFF)
         cand = (colv != 0) & ~used
-        has = jnp.any(cand, axis=1)
-        piv = jnp.argmax(cand, axis=1).astype(jnp.int32)
-        is_piv = row_iota == piv[:, None]
-        used = used | (is_piv & has[:, None])
+        has = jnp.any(cand, axis=0)  # (B,)
+        piv = jnp.argmax(cand, axis=0).astype(jnp.int32)  # first row
+        is_piv = row_iota == piv[None, :]  # (m, B)
+        used = used | (is_piv & has[None, :])
         pivrow = pivrow.at[:, col].set(jnp.where(has, piv, 0))
-        prow = jnp.take_along_axis(r, piv[:, None, None], axis=1)  # (B,1,C)
-        pivot_el = jnp.take_along_axis(colv, piv[:, None], axis=1)[:, 0]
-        prow = gf.gf_mul(gf.gf_inv(pivot_el)[:, None, None], prow)
-        r = jnp.where((is_piv & has[:, None])[:, :, None], prow, r)
-        factor = jnp.where(~is_piv & has[:, None], colv, 0)
-        r = r ^ gf.gf_mul(factor[:, :, None], prow)
+        sel = is_piv[:, None, :].astype(jnp.uint32)
+        prow = jnp.sum(r * sel, axis=0)  # (C, B): exactly one row selected
+        pivot_el = jnp.sum(colv * is_piv.astype(jnp.uint32), axis=0)  # (B,)
+        prow = gf.gf_mul_packed(
+            prow, gf.gf_inv(pivot_el.astype(jnp.uint8))[None, :]
+        )
+        r = jnp.where((is_piv & has[None, :])[:, None, :], prow[None], r)
+        # Eight xtime images of the normalized pivot row, then the row
+        # update as double-and-add over the factor bytes' bits.
+        pw = prow
+        factor = jnp.where(~is_piv & has[None, :], colv, jnp.uint32(0))
+        acc = pw[None] * (factor & 1)[:, None, :]
+        for bit in range(1, 8):
+            pw = _xtime_packed_u32(pw)
+            acc = acc ^ pw[None] * ((factor >> bit) & 1)[:, None, :]
+        r = r ^ acc
         failed = failed | (~has & (col < nreal))
         return r, used, pivrow, failed
 
     r, _, pivrow, failed = jax.lax.fori_loop(
         0, emax, step, (r, used0, pivrow0, overflow)
     )
+    r = jnp.transpose(r, (2, 0, 1))  # back to (B, m, C) for the T gather
 
     # rhs = H_nb . y_known: erased slots hold zero, so the full-H product is
-    # the known-only sum. One bit-plane MXU pass over the payload width.
+    # the known-only sum. Then x = T[pivot rows] . rhs per frame.
     h_img = _bit_image_dev(jnp.transpose(arrays.h_nb))  # (8n, 8m)
-    ub = gf.bytes_to_bits(jnp.transpose(values, (0, 2, 1)))  # (B, W, 8n)
-    acc = jax.lax.dot_general(
-        ub, h_img,
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    rhs = gf.bits_to_bytes(acc & 1)  # (B, W, m) bytes
+    t_top = _unpack_words_bytes(
+        jnp.take_along_axis(r[:, :, wa:], pivrow[:, :, None], axis=1)
+    )[:, :, :m]  # (B, emax, m)
+    w = values.shape[2]
+    if jax.default_backend() != "cpu" and w % 128 == 0:
+        # Fused VMEM kernels (ops/pallas_nbmm.py): SWAR unpack + MXU
+        # contraction + byte repack, chained in the kernels' native
+        # (B, rows, W) layout — the XLA formulation materialized the
+        # (B, W, 8n) bit tensor in HBM and was VPU-unpack-bound (~17 ms
+        # syndrome + ~10 ms apply at the RS B=1024/1 KB point vs ~1 ms
+        # for the fused pair — docs/DESIGN.md).
+        from ldpc_erasure_codes_tpu.ops.pallas_nbmm import (
+            gf_matmul_batched,
+            gf_matvec_wide,
+        )
 
-    # x = T[pivot rows] . rhs.
-    t_top = jnp.take_along_axis(
-        r[:, :, emax:], pivrow[:, :, None], axis=1
-    )  # (B, emax, m)
-    tt_img = _bit_image_dev(jnp.transpose(t_top, (0, 2, 1)))  # (B, 8m, 8emax)
-    rb = gf.bytes_to_bits(rhs)  # (B, W, 8m)
-    xb = jax.lax.dot_general(
-        rb, tt_img,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32,
-    )
-    x = jnp.transpose(gf.bits_to_bytes(xb & 1), (0, 2, 1))  # (B, emax, W)
+        # One shared zero-padded tensor serves both the syndrome kernel's
+        # lane-aligned input (rows n..n_pad zero) and the scatter base
+        # (rows n.. = the pad-slot dump row) — the duplicate (B, ~n, W)
+        # pad pass measured ~1 ms at the RS B=1024 point.
+        n_pad = max(n + 1, -(-n // 32) * 32)
+        values_p = jnp.pad(values, ((0, 0), (0, n_pad - n), (0, 0)))
+        rhs_mw = gf_matvec_wide(values_p, h_img, out_layout="mw")
+        m_pad = rhs_mw.shape[1]
+        e_pad = -(-emax // 8) * 8
+        # Per-frame transposed plane-major images of T, built directly in
+        # the kernel layout (a permute of _bit_image_dev's output costs a
+        # full HBM relayout at the custom-call boundary).
+        imgs = _bit_image_dev_tpm(t_top, e_pad, m_pad)
+        x = gf_matmul_batched(rhs_mw, imgs)[:, :emax, :]  # (B, emax, W)
+    else:
+        # XLA fallback (CPU backend / unaligned widths). int8 accumulation:
+        # the popcount over <= 8n terms wraps mod 256, which preserves the
+        # parity bit and quarters the accumulator's HBM footprint.
+        ub = gf.bytes_to_bits(jnp.transpose(values, (0, 2, 1)))  # (B,W,8n)
+        acc = jax.lax.dot_general(
+            ub, h_img,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int8,
+        )
+        rhs = gf.bits_to_bytes(acc & 1)  # (B, W, m) bytes
+        tt_img = _bit_image_dev(
+            jnp.transpose(t_top, (0, 2, 1))
+        )  # (B, 8m, 8emax)
+        rb = gf.bytes_to_bits(rhs)  # (B, W, 8m)
+        xb = jax.lax.dot_general(
+            rb, tt_img,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int8,  # mod-256 wrap keeps parity
+        )
+        x = jnp.transpose(gf.bits_to_bytes(xb & 1), (0, 2, 1))  # (B,emax,W)
+        values_p = _pad_n(values, 1)
 
     writable = real & ~overflow[:, None]
     x = x * writable[:, :, None].astype(x.dtype)
     bidx = jnp.arange(b)[:, None]
     safe_idx = jnp.where(writable, er_idx, n)
-    values_p = _pad_n(values, 1)
+    # Direct row scatter (~2.9 ms at the RS B=1024 point). Measured
+    # negative alternative: inverting the index map on the small int32
+    # side and placing rows with take_along_axis + select runs ~4 ms
+    # SLOWER — TPU row gathers serialize like the scatter and the select
+    # adds a full extra pass.
     values_p = values_p.at[bidx, safe_idx].set(x)
     values = values_p[:, :n]
     solved = ~failed

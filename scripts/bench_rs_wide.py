@@ -24,13 +24,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    from ldpc_erasure_codes_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from ldpc_erasure_codes_tpu.ops import device_arrays
     from ldpc_erasure_codes_tpu.rs import rs_code, rs_decode_wide, rs_encode
 
     n, k = 255, 192
     code = rs_code(n, k)
     arrays = device_arrays(code)
-    b, wb = 256, 1024  # 1 KB payloads (S = 8192 bits, the LDPC rows' S)
+    # 1 KB payloads (S = 8192 bits, the LDPC rows' S) by default.
+    b = int(os.environ.get("RS_BATCH", "256"))
+    wb = int(os.environ.get("RS_WB", "1024"))
     reps = 10
     key = jax.random.key(0)
     src = jax.random.bits(key, (b, k, wb), dtype=jnp.uint8)
