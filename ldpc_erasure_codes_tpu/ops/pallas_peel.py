@@ -141,14 +141,14 @@ def _make_kernel(
     skip_idle: bool, cond_stores: bool, gf_order: int, serpentine: bool,
     jacobi: bool, counted: bool, grouped: bool, ngroups: int, cmax: int,
     m_blk8: int, m_rows: int, m_pad: int, static_topo, interpret: bool,
-    wc: int, w_chunks: int,
+    wc: int, w_chunks: int, unroll_blk: int = 8,
 ):
     n1 = n + 1
     if static_topo is not None:
         return _make_unrolled_kernel(
             n=n, k_stop=k_stop, m=m, bt=bt, max_iters=max_iters,
             gf_order=gf_order, topo=static_topo, interpret=interpret,
-            wc=wc, w_chunks=w_chunks,
+            wc=wc, w_chunks=w_chunks, blk=unroll_blk,
         )
     if jacobi:
         return _make_jacobi_kernel(
@@ -806,7 +806,7 @@ def _make_counted_kernel(
     return kernel
 
 
-def static_topology(arrays) -> tuple:
+def static_topology(arrays, order: str = "natural") -> tuple:
     """Concrete per-check topology tuples for ``schedule="unrolled"``.
 
     Returns ``((idxs, coefs, invs), ...)`` — one entry per check, true
@@ -814,6 +814,24 @@ def static_topology(arrays) -> tuple:
     jit cache as a static argument. Must be built OUTSIDE any jit trace
     (host values); works on a :class:`CodeArrays` (or anything exposing
     vlist_idx / vlist_len / vlist_val / vlist_inv_val as concrete arrays).
+
+    ``order`` permutes the baked visit sequence — the TPU form of the
+    reference's 2-way check-partition schedule
+    (OpenCL/device/ldpc_erasure_decoder_perf_tests.cl:95-203: two
+    independent half-sweeps merged by union of known positions; tex:183).
+    Any visit order reaches the same fixed point (every successful
+    resolution writes the true codeword symbol, so resolutions commute);
+    orders differ only in per-sweep dependence depth and convergence
+    propagation:
+
+    * ``"natural"`` — ROM order (the MATLAB/production sweep).
+    * ``"split2"`` — interleave the two code halves [0, m/2, 1, m/2+1, ...]:
+      adjacent program-order visits come from distant checks, which rarely
+      share symbols, so Mosaic's (alias-decidable) scheduler can overlap
+      them — the reference's split, refined to per-visit granularity.
+    * ``"color"`` — greedy graph coloring: visits are emitted as runs of
+      pairwise symbol-disjoint checks, making every run statically
+      data-parallel inside its fence block.
     """
     import numpy as np
 
@@ -821,8 +839,33 @@ def static_topology(arrays) -> tuple:
     vl = np.asarray(arrays.vlist_len)
     vv = np.asarray(arrays.vlist_val)
     iv = np.asarray(arrays.vlist_inv_val)
+    m = vi.shape[0]
+    if order == "natural":
+        perm = range(m)
+    elif order == "split2":
+        h = -(-m // 2)
+        perm = [c for i in range(h) for c in (i, h + i) if c < m]
+    elif order == "color":
+        # Greedy: repeatedly sweep the remaining checks in ROM order,
+        # collecting a maximal run of pairwise symbol-disjoint checks.
+        remaining = list(range(m))
+        perm = []
+        while remaining:
+            seen: set[int] = set()
+            run, rest = [], []
+            for c in remaining:
+                syms = set(int(x) for x in vi[c, : int(vl[c])])
+                if seen.isdisjoint(syms):
+                    run.append(c)
+                    seen |= syms
+                else:
+                    rest.append(c)
+            perm.extend(run)
+            remaining = rest
+    else:
+        raise ValueError(f"unknown order {order!r}")
     out = []
-    for c in range(vi.shape[0]):
+    for c in perm:
         d = int(vl[c])
         out.append(
             (
@@ -849,7 +892,7 @@ def _gf_mul_const(v, coef: int):
 
 def _make_unrolled_kernel(
     *, n: int, k_stop: int, m: int, bt: int, max_iters: int, gf_order: int,
-    topo: tuple, interpret: bool, wc: int, w_chunks: int,
+    topo: tuple, interpret: bool, wc: int, w_chunks: int, blk: int = 8,
 ):
     """Fully-unrolled constant-topology sequential sweep — the round-3
     production schedule (522.8 Gbps at the headline point vs 341 for the
@@ -873,7 +916,7 @@ def _make_unrolled_kernel(
     only set bits emit ops (~half the multiply work of the runtime kernel).
     """
     n1 = n + 1
-    BLK = 8
+    BLK = blk
 
     def kernel(
         topo_ref,   # (1, 1) dummies — topology is baked into the program
@@ -1169,7 +1212,7 @@ def _make_grouped_kernel(
     static_argnames=(
         "max_iters", "early_stop_k", "b_tile", "skip_idle",
         "cond_stores", "gf_order", "serpentine", "schedule", "tiled",
-        "interpret", "w_chunk", "static_topo",
+        "interpret", "w_chunk", "static_topo", "unroll_blk",
     ),
 )
 def peel_decode_vmem(
@@ -1189,6 +1232,7 @@ def peel_decode_vmem(
     interpret: bool = False,
     w_chunk: int = 0,
     static_topo: tuple | None = None,
+    unroll_blk: int = 8,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """VMEM-resident peeling decode; sequential (MATLAB) schedule.
 
@@ -1275,6 +1319,12 @@ def peel_decode_vmem(
         values must divide W (and be lane-aligned on hardware). The mask
         sweep repeats per chunk, the same per-frame accounting as
         decoding the chunks as separate frames.
+      unroll_blk: fence size of the unrolled schedule's predicated visit
+        blocks (default 8 — the round-3 register-pressure fix; the
+        unfenced program spilled 97 MB of vregs). Larger blocks widen the
+        scheduler's overlap window — useful with reordered topologies
+        (``static_topology(..., order=...)``) whose nearby visits are
+        symbol-disjoint. Unrolled schedule only.
 
     Returns (values, erased, iters) — (B, n, W), (B, n) bool, (B,) int32;
     with ``tiled=True`` values is (ntiles, (n+1)*b_tile, W).
@@ -1409,6 +1459,7 @@ def peel_decode_vmem(
         m_blk8=m_blk8, m_rows=m_rows, m_pad=m_pad,
         static_topo=static_topo if unrolled else None,
         interpret=interpret, wc=wc, w_chunks=w_chunks,
+        unroll_blk=unroll_blk,
     )
     # The big values operand stays in HBM (manual DMA straight into the
     # working/output window), so VMEM holds only the output copies. Large

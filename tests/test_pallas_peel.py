@@ -33,8 +33,11 @@ def _make_case(code, b, w, per, seed):
     return arrays, cw, recv, mask
 
 
-@pytest.mark.parametrize("bt,schedule", [(4, "seq"), (8, "seq"),
-                                         (4, "counted"), (8, "counted")])
+@pytest.mark.parametrize("bt,schedule", [
+    (4, "seq"), (8, "seq"),
+    pytest.param(4, "counted", marks=pytest.mark.slow),
+    pytest.param(8, "counted", marks=pytest.mark.slow),
+])
 def test_matches_oracle_bit_exact(bt, schedule):
     """Values, residual mask, AND iteration counts equal the oracle's
     sequential sweep on every frame (both sequential-schedule kernels:
@@ -64,6 +67,7 @@ def test_matches_oracle_bit_exact(bt, schedule):
         assert iters[f] == o_iters, f"frame {f}: {iters[f]} vs {o_iters}"
 
 
+@pytest.mark.slow
 def test_counted_equals_seq_everywhere():
     """schedule="counted" is the SAME schedule as "seq" (incremental counts
     + sound sweep-start skips): values, masks, and iteration counts must be
@@ -161,6 +165,37 @@ def test_unrolled_matches_oracle_and_seq():
         )
 
 
+def test_unrolled_check_orders_same_fixed_point():
+    """Reordered constant-topology programs (static_topology order=split2 /
+    color — the reference's 2-way check-partition schedule generalized,
+    ldpc_erasure_decoder_perf_tests.cl:95-203) reach the same fixed point:
+    identical final masks and identical resolved values (iteration counts
+    are schedule-dependent and may differ). Also exercises the unroll_blk
+    fence-size knob."""
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import static_topology
+
+    code = gen_row_wise([(16, 6)], [(48, 2)], seed=3, max_tries=40,
+                        strict_tries=4)
+    arrays, cw, recv, mask = _make_case(code, 8, 2, 0.25, seed=0)
+    outs = {}
+    for order, blk in (("natural", 8), ("split2", 8), ("color", 16)):
+        topo = static_topology(arrays, order=order)
+        outs[order] = peel_decode_vmem(
+            arrays, recv, mask, max_iters=50, b_tile=4, schedule="unrolled",
+            static_topo=topo, interpret=True, unroll_blk=blk,
+        )
+    v0, e0, _ = outs["natural"]
+    v0 = np.where(np.asarray(e0)[:, :, None], 0, np.asarray(v0))
+    for order in ("split2", "color"):
+        v, e, _ = outs[order]
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(e0), order)
+        np.testing.assert_array_equal(
+            np.where(np.asarray(e)[:, :, None], 0, np.asarray(v)), v0, order
+        )
+    with pytest.raises(ValueError):
+        static_topology(arrays, order="bogus")
+
+
 def test_unrolled_nb_equals_seq():
     """GF(256) unrolled schedule (compile-time Horner bits) == seq."""
     from ldpc_erasure_codes_tpu.codes import toy_code
@@ -187,6 +222,7 @@ def test_unrolled_nb_equals_seq():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=nm)
 
 
+@pytest.mark.slow
 def test_counted_nb_equals_seq():
     """GF(256) counted schedule == seq schedule bit-exactly."""
     code = get_code("n2040_k1530_gf256")
@@ -209,6 +245,7 @@ def test_counted_nb_equals_seq():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=nm)
 
 
+@pytest.mark.slow
 def test_fixed_point_matches_jacobi_xla():
     code = get_code("n2000_k1000")
     b, w, per = 4, 2, 0.35
@@ -221,6 +258,7 @@ def test_fixed_point_matches_jacobi_xla():
     np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_x))
 
 
+@pytest.mark.slow
 def test_serpentine_same_fixed_point():
     """Serpentine (alternating-direction) sweeps reach the same fixed point
     (values + residual mask) as the forward-only MATLAB schedule; iteration
@@ -505,7 +543,7 @@ def test_tiled_nb_matches_untiled():
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
 
-@pytest.mark.parametrize("schedule", ["seq", "jacobi"])
+@pytest.mark.parametrize("schedule", ["seq", pytest.param("jacobi", marks=pytest.mark.slow)])
 def test_w_chunked_matches_unchunked(schedule):
     """W-chunking (w_chunk < W): identical values, masks, and iteration
     counts to the unchunked decode — mask evolution is value-independent,
@@ -580,6 +618,7 @@ def test_w_chunk_validation():
 
 
 @pytest.mark.parametrize("bt", [4, 8])
+@pytest.mark.slow
 def test_jacobi_matches_xla_jacobi_bit_exact(bt):
     """schedule="jacobi" = the Jacobi schedule run in VMEM: masks, resolved
     values, AND iteration counts equal the XLA ``peel_decode`` Jacobi path
@@ -622,6 +661,7 @@ def test_jacobi_real_code_early_stop():
     )
 
 
+@pytest.mark.slow
 def test_jacobi_nb_matches_xla():
     """GF(256) jacobi schedule equals the XLA NB Jacobi path bit-exactly
     (the exclude-self value identity inv_s (x) acc XOR rows[s] must hold
@@ -646,6 +686,7 @@ def test_jacobi_nb_matches_xla():
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
 
 
+@pytest.mark.slow
 def test_jacobi_tiled_matches_flat():
     """The tile-major I/O contract holds for the jacobi schedule too."""
     from ldpc_erasure_codes_tpu.ops.pallas_peel import tile_wide, untile_wide
