@@ -27,8 +27,44 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# Persistent compilation cache: the interpret-mode Pallas tests are
+# compile-dominated (the worst leg spent 105 s, almost all of it in XLA);
+# cached executables cut repeat suite runs to the actual compute. Safe —
+# cache keys hash the HLO, so stale hits are impossible.
+from ldpc_erasure_codes_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 REFERENCE_DIR = "/root/reference"
 
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_DIR)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: research-schedule / multi-process legs excluded from the "
+        "default run (enable with --slow or -m slow)",
+    )
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (the full pre-commit suite)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow") or config.getoption("-m"):
+        return
+    import pytest
+
+    skip = pytest.mark.skip(reason="slow leg; run with --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -88,6 +88,7 @@ def two_process_run(tmp_path_factory):
     return results
 
 
+@pytest.mark.slow
 def test_two_processes_agree(two_process_run):
     r0, r1 = two_process_run
     assert r0["info"]["process_count"] == 2
@@ -100,6 +101,7 @@ def test_two_processes_agree(two_process_run):
     assert r0["stats"]["frames"] == 8 * BATCH * STEPS
 
 
+@pytest.mark.slow
 def test_matches_single_process_run(two_process_run):
     """The 2-process global-mesh stats equal a single-process 8-device run
     bitwise (PRNG folds depend only on global device order)."""
