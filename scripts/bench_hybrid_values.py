@@ -90,6 +90,10 @@ def run_point(code_name, per, *, b, emax, f_max, w=256, peel_iters=10,
 
 
 def main() -> None:
+    from ldpc_erasure_codes_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     quick = "--quick" in sys.argv
     b = 256 if quick else 1024
     # (2040,1530): full Table-I PER range; GE-hot at .1875/.2031. Residual

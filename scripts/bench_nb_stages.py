@@ -31,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    from ldpc_erasure_codes_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from ldpc_erasure_codes_tpu import channel as ch
     from ldpc_erasure_codes_tpu.codes import get_code
     from ldpc_erasure_codes_tpu.ops import device_arrays, hybrid_decode
@@ -43,9 +47,10 @@ def main() -> None:
     quick = "--quick" in sys.argv
     code = get_code("n2040_k1530_gf256")
     arrays = device_arrays(code)
-    b = 64 if quick else 512
-    wb = 1024  # bytes per symbol = S 8192 bits
-    bt, per = 32, 0.1406
+    b = int(os.environ.get("NB_BATCH", "64" if quick else "512"))
+    wb = int(os.environ.get("NB_WB", "1024"))  # bytes/symbol = S 8192 bits
+    bt = int(os.environ.get("NB_TILE", "32"))
+    per = 0.1406
     reps = 3 if quick else 10
     key = jax.random.key(0)
     # Round 3: constant-topology unrolled encode + peel unless disabled.

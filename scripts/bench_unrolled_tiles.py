@@ -33,6 +33,10 @@ def main() -> None:
         static_topology,
     )
 
+    from ldpc_erasure_codes_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     code = get_code("n2040_k1530")
     arrays = device_arrays(code)
     b, w, per, reps = 2048, 256, 0.1406, 10
@@ -41,13 +45,26 @@ def main() -> None:
     ] or [(32, 0), (64, 128), (48, 128)]
     topo = static_topology(arrays)
 
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import tile_wide
+
     key = jax.random.key(0)
     src = jax.random.bits(key, (b, code.k, w), dtype=jnp.uint32)
-    cw = jax.block_until_ready(
-        encode_packed_vmem(arrays, src, b_tile=32, tiled_out=True)
+    # The tile-major layout is a function of the decode b_tile: encode ONCE
+    # in the flat layout and retile per config (ADVICE r3: a single bt=32
+    # tiled encode made every grown-tile config fail the decoder's shape
+    # validation at trace time, and the broad except mislabeled that as a
+    # compile failure; encoding per-config with b_tile=bt instead OOMs the
+    # encoder's VMEM at bt=64 — the decoder's tile budget is not the
+    # encoder's).
+    cw_flat = jax.block_until_ready(
+        encode_packed_vmem(arrays, src, b_tile=32, tiled_out=False)
     )
+    del src  # HBM: flat cw (4.3 GB) + per-config tile + decode out ~= 13 GB
 
+    cw = out = None
     for bt, wc in configs:
+        cw = out = None  # free the previous config's tile + outputs first
+        cw = jax.block_until_ready(jax.jit(tile_wide, static_argnums=1)(cw_flat, bt))
         @jax.jit
         def step(key, cw, bt=bt, wc=wc):
             mask = ch.iid_erasures(key, (b, code.n), per)
@@ -65,6 +82,10 @@ def main() -> None:
             t0 = time.perf_counter()
             out = jax.block_until_ready(step(jax.random.fold_in(key, 999), cw))
             compile_s = time.perf_counter() - t0
+        except ValueError:
+            # Config/shape errors are experiment bugs, not measurements —
+            # surface them instead of recording a bogus negative.
+            raise
         except Exception as exc:  # Mosaic compile / VMEM failures
             print(f"bt={bt} wc={wc}: FAILED ({type(exc).__name__}: "
                   f"{str(exc)[:160]})", flush=True)
