@@ -313,33 +313,6 @@ def _xtime8(v: jax.Array) -> jax.Array:
     return (v << 1) ^ ((v >> 7) * jnp.uint8(0x71))
 
 
-def _bit_image_dev_tpm(
-    mat: jax.Array, e_pad: int, m_pad: int
-) -> jax.Array:
-    """(B, e, m) uint8 -> (B, 64*e_pad, m_pad) int8 per-frame TRANSPOSED
-    PLANE-MAJOR binary images: out[b, (c*8 + r)*e_pad + i, j] = bit r of
-    (mat[b, i, j] * x^c) — the native operand layout of
-    ``ops.pallas_nbmm.gf_matmul_batched``, built with xtime chains, bit
-    broadcasts, pads, and ONE contiguous reshape. (Permuting the
-    :func:`_bit_image_dev` output into this layout instead costs a full
-    HBM relayout at the Pallas custom-call boundary — measured more than
-    the matmul it feeds.)"""
-    prods = [mat]
-    for _ in range(7):
-        prods.append(_xtime8(prods[-1]))
-    p = jnp.stack(prods, axis=1)  # (B, 8, e, m)
-    shifts = jnp.arange(8, dtype=jnp.uint8)
-    bits = (p[:, :, None, :, :] >> shifts[None, None, :, None, None]) & 1
-    b, _, _, e, m = bits.shape
-    bits = jnp.pad(
-        bits, ((0, 0), (0, 0), (0, 0), (0, e_pad - e), (0, m_pad - m))
-    )
-    # (A SWAR word-level bit extraction with bitcast re-views measured a
-    # ~8 ms REGRESSION here — the mixed-width bitcast chain costs a
-    # relayout at the consumer custom-call boundary.)
-    return bits.reshape(b, 64 * e_pad, m_pad).astype(jnp.int8)
-
-
 def _bit_image_dev(mat: jax.Array) -> jax.Array:
     """Device-side GF(256) -> GF(2) binary image: (..., p, q) uint8 ->
     (..., 8p, 8q) int8, image[8i+b, 8j+c] = bit c of (mat[i,j] * x^b).
@@ -506,7 +479,7 @@ def ge_solve_wide_nb(
         # syndrome + ~10 ms apply at the RS B=1024/1 KB point vs ~1 ms
         # for the fused pair — docs/DESIGN.md).
         from ldpc_erasure_codes_tpu.ops.pallas_nbmm import (
-            gf_matmul_batched,
+            gf_apply_scatter,
             gf_matvec_wide,
         )
 
@@ -519,11 +492,23 @@ def ge_solve_wide_nb(
         rhs_mw = gf_matvec_wide(values_p, h_img, out_layout="mw")
         m_pad = rhs_mw.shape[1]
         e_pad = -(-emax // 8) * 8
-        # Per-frame transposed plane-major images of T, built directly in
-        # the kernel layout (a permute of _bit_image_dev's output costs a
-        # full HBM relayout at the custom-call boundary).
-        imgs = _bit_image_dev_tpm(t_top, e_pad, m_pad)
-        x = gf_matmul_batched(rhs_mw, imgs)[:, :emax, :]  # (B, emax, W)
+        # T enters the apply kernel as BYTES; its transposed plane-major
+        # image is built in-kernel (an XLA-side image build measured
+        # ~5 ms here — 64x HBM expansion plus padded-5-D VPU shift work),
+        # and the solved rows are placed at their erased positions by the
+        # SAME kernel (the standalone XLA row scatter measured ~2.9 ms).
+        # Non-writable slots point at the dump row n, which is never read.
+        mats = jnp.pad(
+            t_top, ((0, 0), (0, e_pad - emax), (0, m_pad - m))
+        )
+        writable = real & ~overflow[:, None]
+        safe_idx = jnp.pad(
+            jnp.where(writable, er_idx, n).astype(jnp.int32),
+            ((0, 0), (0, e_pad - emax)),
+            constant_values=n,
+        )
+        values_p = gf_apply_scatter(values_p, rhs_mw, mats, safe_idx)
+        values = values_p[:, :n]
     else:
         # XLA fallback (CPU backend / unaligned widths). int8 accumulation:
         # the popcount over <= 8n terms wraps mod 256, which preserves the
@@ -546,18 +531,17 @@ def ge_solve_wide_nb(
         )
         x = jnp.transpose(gf.bits_to_bytes(xb & 1), (0, 2, 1))  # (B,emax,W)
         values_p = _pad_n(values, 1)
+        writable = real & ~overflow[:, None]
+        x = x * writable[:, :, None].astype(x.dtype)
+        bidx = jnp.arange(b)[:, None]
+        safe_idx = jnp.where(writable, er_idx, n)
+        # Direct row scatter. Measured negative alternative: inverting the
+        # index map on the small int32 side and placing rows with
+        # take_along_axis + select runs ~4 ms SLOWER — TPU row gathers
+        # serialize like the scatter and the select adds a full extra pass.
+        values_p = values_p.at[bidx, safe_idx].set(x)
+        values = values_p[:, :n]
 
-    writable = real & ~overflow[:, None]
-    x = x * writable[:, :, None].astype(x.dtype)
-    bidx = jnp.arange(b)[:, None]
-    safe_idx = jnp.where(writable, er_idx, n)
-    # Direct row scatter (~2.9 ms at the RS B=1024 point). Measured
-    # negative alternative: inverting the index map on the small int32
-    # side and placing rows with take_along_axis + select runs ~4 ms
-    # SLOWER — TPU row gathers serialize like the scatter and the select
-    # adds a full extra pass.
-    values_p = values_p.at[bidx, safe_idx].set(x)
-    values = values_p[:, :n]
     solved = ~failed
     erased = erased & ~solved[:, None]
     return values, erased, failed

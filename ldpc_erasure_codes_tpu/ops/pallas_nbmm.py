@@ -45,13 +45,13 @@ def _kernel(y_ref, img_ref, out_ref, *, m_pad: int, interpret: bool):
     # y_ref: (1, n_pad, Wc) uint8 payload block in its NATURAL layout;
     # img_ref: (8, 8*m_pad, n_pad) int8 (plane c's transposed image);
     # out_ref: (1, m_pad, Wc) uint8.
-    _matmul_body(y_ref[0], img_ref, out_ref, m_pad, interpret)
+    out_ref[0] = _matmul_body(y_ref[0], img_ref, m_pad, interpret)
 
 
-def _matmul_body(y8, imgt, out_ref, m_pad, interpret):
+def _matmul_body(y8, imgt, m_pad, interpret):
     # y8: (K_pad, Wc) uint8 operand (contracted byte axis on sublanes,
     # K_pad % 4 == 0); imgt: (8, 8*m_pad, K_pad) int8 plane-major
-    # transposed image; out_ref: (1, m_pad, Wc) uint8.
+    # transposed image; returns the (m_pad, Wc) uint8 product.
     if interpret:
         yw = jnp.transpose(
             jax.lax.bitcast_convert_type(
@@ -91,7 +91,7 @@ def _matmul_body(y8, imgt, out_ref, m_pad, interpret):
     res = par[0:m_pad]
     for r in range(1, 8):
         res = res + (par[r * m_pad : (r + 1) * m_pad] << r)
-    out_ref[0] = res.astype(jnp.uint8)
+    return res.astype(jnp.uint8)
 
 
 @functools.partial(
@@ -181,41 +181,71 @@ def gf_matvec_wide(
     return jnp.transpose(out[:, :m, :], (0, 2, 1))  # (B, W, m)
 
 
-@functools.partial(jax.jit, static_argnames=("wc", "interpret"))
+def _imgt_from_bytes(t, prim_poly):
+    # (e_pad, m_pad) uint8 matrix -> list of 8 plane-major transposed
+    # images, imgt[c][r*e_pad + i, j] = bit r of (t[i, j] * x^c) — the
+    # in-kernel replacement for an XLA-side image build (~5 ms and a 64x
+    # HBM expansion at the RS B=1024 point vs ~256 vreg-ops here). All
+    # arithmetic runs in int32: Mosaic cannot legalize 8-bit vector
+    # shifts ('arith.shrui' on vector<..xi8>), and the matrix is tiny.
+    t32 = t.astype(jnp.int32)
+    imgt = []
+    for c in range(8):
+        if c:
+            # xtime: shift-left with polynomial reduction, masked to a byte
+            t32 = ((t32 << 1) ^ ((t32 >> 7) * (prim_poly & 0xFF))) & 0xFF
+        imgt.append(
+            jnp.concatenate(
+                [((t32 >> r) & 1).astype(jnp.int8) for r in range(8)],
+                axis=0,
+            )  # (8*e_pad, m_pad): row r*e_pad + i = bit r of t[i]
+        )
+    return imgt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wc", "interpret", "prim_poly")
+)
 def gf_matmul_batched(
     rhs_mw: jax.Array,
-    imgs: jax.Array,
+    mats: jax.Array,
     *,
     wc: int = 0,
     interpret: bool = False,
+    prim_poly: int = 0x171,
 ) -> jax.Array:
     """Per-frame x[b] = M_b . rhs[b] over GF(256), fused in VMEM.
 
     The batched companion of :func:`gf_matvec_wide` — each frame carries
-    its OWN matrix image (the GE transform apply, ops/ge.py): the grid's
-    batch axis indexes both the payload block and the image block.
+    its OWN matrix (the GE transform apply, ops/ge.py): the grid's batch
+    axis indexes both the payload block and the matrix block. The matrix
+    enters as BYTES; its transposed plane-major binary image
+    (imgt[c][r*e_pad + i, j] = bit r of (M_b[i, j] * x^c)) is built
+    IN-KERNEL from the xtime chain — an XLA-side image build measured
+    ~5 ms at the RS B=1024 point (the (B, 64*e_pad, m_pad) tensor is 64x
+    the byte matrix, and the expansion is VPU shift/mask work XLA spreads
+    over a padded 5-D intermediate), vs ~256 vreg-ops per program here,
+    and HBM carries only the bytes.
 
     Args:
       rhs_mw: (B, m_pad, W) uint8 — the "mw" output of gf_matvec_wide
         (byte axis on sublanes, m_pad a multiple of 8, pad rows zero).
-      imgs: (B, 64*e_pad, m_pad) int8 — per-frame transposed plane-major
-        images, rows flattened c-major:
-        imgs[b, (c*8 + r)*e_pad + i, j] = bit r of (M_b[i, j] * x^c)
-        (``ops.ge._bit_image_dev_tpm`` builds this layout directly).
+      mats: (B, e_pad, m_pad) uint8 per-frame byte matrices, e_pad a
+        multiple of 8, pad rows/cols zero.
       wc: W-chunk per grid program (0 = auto); must divide W.
+      prim_poly: GF(256) primitive polynomial (low byte used by xtime).
 
     Returns:
       (B, e_pad, W) uint8 per-frame products (rows e.. are the pad).
     """
     b, m_pad, w = rhs_mw.shape
-    e8 = imgs.shape[1] // 8
-    e_pad = e8 // 8
-    if imgs.shape != (b, 8 * e8, m_pad):
+    _, e_pad, m_pad2 = mats.shape
+    if m_pad2 != m_pad or mats.shape[0] != b or e_pad % 8:
         raise ValueError(
-            f"imgs shape {imgs.shape} != ({b}, {8 * e8}, {m_pad}) — pass the "
-            "3-D (B, 64*e_pad, m_pad) layout (a 4-D block spec measured a "
-            "~50x per-program stall)"
+            f"mats shape {mats.shape} incompatible with rhs {rhs_mw.shape} "
+            "(need (B, e_pad, m_pad), e_pad % 8 == 0)"
         )
+    e8 = 8 * e_pad
     if wc <= 0:
         budget = 48 * 1024 * 1024
         wc = min(w, max(128, (budget // (e8 * 4)) // 128 * 128))
@@ -224,14 +254,9 @@ def gf_matmul_batched(
     if w % wc:
         raise ValueError(f"wc={wc} must divide W={w}")
 
-    def kern(y_ref, img_ref, out_ref):
-        _matmul_body(
-            y_ref[0],
-            [img_ref[0, c * e8 : (c + 1) * e8] for c in range(8)],
-            out_ref,
-            e_pad,
-            interpret,
-        )
+    def kern(y_ref, mat_ref, out_ref):
+        imgt = _imgt_from_bytes(mat_ref[0], prim_poly)
+        out_ref[0] = _matmul_body(y_ref[0], imgt, e_pad, interpret)
 
     return pl.pallas_call(
         kern,
@@ -242,7 +267,7 @@ def gf_matmul_batched(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 8 * e8, m_pad), lambda i, j: (i, 0, 0),
+                (1, e_pad, m_pad), lambda i, j: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -251,4 +276,105 @@ def gf_matmul_batched(
         ),
         out_shape=jax.ShapeDtypeStruct((b, e_pad, w), jnp.uint8),
         interpret=interpret,
-    )(rhs_mw, imgs)
+    )(rhs_mw, mats)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wc", "interpret", "prim_poly")
+)
+def gf_apply_scatter(
+    values_p: jax.Array,
+    rhs_mw: jax.Array,
+    mats: jax.Array,
+    idx: jax.Array,
+    *,
+    wc: int = 0,
+    interpret: bool = False,
+    prim_poly: int = 0x171,
+) -> jax.Array:
+    """values_p with rows idx[b, i] replaced by (M_b . rhs_b)[i], fused.
+
+    The production tail of the wide GE solve: computes the per-frame
+    transform apply (exactly :func:`gf_matmul_batched`) AND places the
+    solved rows at their erased positions in the SAME kernel — the
+    standalone XLA row scatter measured ~2.9 ms at the RS B=1024/1 KB
+    point (and a gather-placement formulation ~4 ms slower still).
+    Placement rides the MXU: erased slots of ``values_p`` are ZERO (the
+    repo-wide invariant), so ``out = values ^ (onehot(idx) @ x)`` drops
+    each solved row exactly into place — one small int8 contraction per
+    program, no scatter. (Dynamic single-row uint8 VMEM stores are not
+    an option: Mosaic requires statically-provable sublane alignment for
+    8-bit stores — "index in dimension 1 is a multiple of 8".)
+
+    Args:
+      values_p: (B, n_pad, W) uint8 frames, ZERO in erased slots; rows
+        n.. are pad/dump rows.
+      rhs_mw: (B, m_pad, W) uint8 — gf_matvec_wide(..., out_layout="mw").
+      mats: (B, e_pad, m_pad) uint8 per-frame byte matrices (pad zero).
+      idx: (B, e_pad) int32 target row of each solved value, in
+        [0, n_pad). Point discarded slots at a dump row (>= the real n):
+        dump-row contents come out unspecified (integer row sums), but
+        the row is never read. Distinct otherwise.
+      wc: W-chunk per grid program (0 = auto); must divide W.
+
+    Returns:
+      (B, n_pad, W) uint8 — values_p with the solved rows placed.
+    """
+    b, n_pad, w = values_p.shape
+    _, m_pad, _ = rhs_mw.shape
+    _, e_pad, m_pad2 = mats.shape
+    if m_pad2 != m_pad or e_pad % 8 or idx.shape != (b, e_pad):
+        raise ValueError(
+            f"shapes incompatible: mats {mats.shape}, rhs {rhs_mw.shape}, "
+            f"idx {idx.shape} (need idx == (B, e_pad))"
+        )
+    if idx.dtype != jnp.int32:
+        raise ValueError(f"idx must be int32, got {idx.dtype}")
+    if wc <= 0:
+        budget = 48 * 1024 * 1024
+        wc = min(w, max(128, (budget // (8 * e_pad * 4)) // 128 * 128))
+        while w % wc:
+            wc -= 128
+    if w % wc:
+        raise ValueError(f"wc={wc} must divide W={w}")
+
+    def kern(v_ref, y_ref, mat_ref, idx_ref, out_ref):
+        imgt = _imgt_from_bytes(mat_ref[0], prim_poly)
+        x = _matmul_body(y_ref[0], imgt, e_pad, interpret)  # (e_pad, wc)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, e_pad), 0)
+        onehot = (rows == idx_ref[0]).astype(jnp.int8)  # (1,e_pad) bcast
+        placed = jax.lax.dot_general(
+            onehot,
+            x.astype(jnp.int8),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (n_pad, wc); each real row has <= 1 contributing term
+        out_ref[0] = v_ref[0] ^ placed.astype(jnp.uint8)
+
+    return pl.pallas_call(
+        kern,
+        grid=(b, w // wc),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_pad, wc), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, m_pad, wc), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, e_pad, m_pad), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, e_pad), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_pad, wc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, w), jnp.uint8),
+        interpret=interpret,
+    )(values_p, rhs_mw, mats, idx[:, None, :])

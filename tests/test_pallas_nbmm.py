@@ -55,12 +55,11 @@ def test_matmul_batched_matches_xla():
     rhs = rng.integers(0, 256, (b, m_pad, w), dtype=np.uint8)
     rhs[:, m:, :] = 0
     mats = jnp.asarray(rng.integers(0, 256, (b, e, m), dtype=np.uint8))
-    # Build per-frame images exactly as ops/ge.py does.
     tt_img = _bit_image_dev(jnp.transpose(mats, (0, 2, 1)))  # (B, 8m, 8e)
-    from ldpc_erasure_codes_tpu.ops.ge import _bit_image_dev_tpm
-
-    imgs = _bit_image_dev_tpm(mats, e_pad, m_pad)
-    out = gf_matmul_batched(jnp.asarray(rhs), imgs, interpret=True)
+    # The kernel takes the zero-padded byte matrices; the plane-major
+    # image is built in-kernel from the xtime chain.
+    mats_p = jnp.pad(mats, ((0, 0), (0, e_pad - e), (0, m_pad - m)))
+    out = gf_matmul_batched(jnp.asarray(rhs), mats_p, interpret=True)
     assert out.shape == (b, e_pad, w)
     # Reference: per-frame x = M . rhs over GF(256) via the XLA bit path.
     rb = gf.bytes_to_bits(jnp.asarray(rhs[:, :m, :]).transpose(0, 2, 1))
@@ -71,6 +70,50 @@ def test_matmul_batched_matches_xla():
     )
     ref = np.asarray(gf.bits_to_bytes(xb & 1)).transpose(0, 2, 1)  # (B,e,W)
     np.testing.assert_array_equal(np.asarray(out)[:, :e, :], ref)
+
+
+def test_apply_scatter_matches_separate():
+    """gf_apply_scatter == gf_matmul_batched + row placement: solved rows
+    land at their idx targets, dump-row writes (idx >= n) are discarded,
+    and untouched rows pass through unchanged."""
+    from ldpc_erasure_codes_tpu.ops.pallas_nbmm import gf_apply_scatter
+
+    rng = np.random.default_rng(11)
+    b, n_pad, m_pad, e_pad, w = 3, 64, 16, 16, 256
+    emax, n_real = 10, 60
+    values = rng.integers(0, 256, (b, n_pad, w), dtype=np.uint8)
+    values[:, n_real:, :] = 0
+    rhs = rng.integers(0, 256, (b, m_pad, w), dtype=np.uint8)
+    mats = rng.integers(0, 256, (b, e_pad, m_pad), dtype=np.uint8)
+    idx = np.stack(  # target rows must be ZERO (the erasure invariant)
+        [
+            np.concatenate(
+                [
+                    rng.choice(n_real, size=emax - 2, replace=False),
+                    # dump-row slots (discarded), padded to e_pad
+                    np.full(e_pad - (emax - 2), n_real),
+                ]
+            )
+            for _ in range(b)
+        ]
+    ).astype(np.int32)
+    for f in range(b):
+        values[f, idx[f, : emax - 2]] = 0  # erased slots are zero
+    out = gf_apply_scatter(
+        jnp.asarray(values), jnp.asarray(rhs), jnp.asarray(mats),
+        jnp.asarray(idx), interpret=True,
+    )
+    x = np.asarray(
+        gf_matmul_batched(jnp.asarray(rhs), jnp.asarray(mats), interpret=True)
+    )
+    ref = values.copy()
+    for f in range(b):
+        for i in range(emax - 2):  # real slots only; the rest hit the dump
+            ref[f, idx[f, i]] = x[f, i]
+    ref[:, n_real:, :] = 0  # dump rows: contents unspecified, never read
+    got = np.asarray(out).copy()
+    got[:, n_real:, :] = 0
+    np.testing.assert_array_equal(got, ref)
 
 
 def test_matvec_validates_chunk():
