@@ -148,8 +148,17 @@ def main() -> None:
     schedule_env = os.environ.get("BENCH_SCHEDULE")
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "600"))
 
+    # BENCH_UNROLL_BLK: fence size of the unrolled program's predicated
+    # visit blocks (default = the kernel's production default, 32 after
+    # the round-4 sweep; part of the warm-marker key since it changes the
+    # compiled program).
+    ublk = int(os.environ.get("BENCH_UNROLL_BLK", "32"))
+
     def _key(sched: str) -> str:
-        return f"{code.name}-{impl}-{sched}-b{b}-w{w}-bt{bt}-{jax.__version__}"
+        return (
+            f"{code.name}-{impl}-{sched}-b{b}-w{w}-bt{bt}-ublk{ublk}"
+            f"-{jax.__version__}"
+        )
 
     schedule, note = choose_schedule(
         impl,
@@ -190,7 +199,7 @@ def main() -> None:
             values, erased, iters = peel_decode_vmem(
                 arrays, cw, mask, max_iters=50, early_stop_k=code.k,
                 b_tile=bt, tiled=True, schedule=schedule,
-                static_topo=static_topo,
+                static_topo=static_topo, unroll_blk=ublk,
             )
         else:
             recv = ch.apply_erasures(cw, mask)

@@ -141,7 +141,7 @@ def _make_kernel(
     skip_idle: bool, cond_stores: bool, gf_order: int, serpentine: bool,
     jacobi: bool, counted: bool, grouped: bool, ngroups: int, cmax: int,
     m_blk8: int, m_rows: int, m_pad: int, static_topo, interpret: bool,
-    wc: int, w_chunks: int, unroll_blk: int = 8,
+    wc: int, w_chunks: int, unroll_blk: int = 32,
 ):
     n1 = n + 1
     if static_topo is not None:
@@ -892,7 +892,7 @@ def _gf_mul_const(v, coef: int):
 
 def _make_unrolled_kernel(
     *, n: int, k_stop: int, m: int, bt: int, max_iters: int, gf_order: int,
-    topo: tuple, interpret: bool, wc: int, w_chunks: int, blk: int = 8,
+    topo: tuple, interpret: bool, wc: int, w_chunks: int, blk: int = 32,
 ):
     """Fully-unrolled constant-topology sequential sweep — the round-3
     production schedule (522.8 Gbps at the headline point vs 341 for the
@@ -1232,7 +1232,7 @@ def peel_decode_vmem(
     interpret: bool = False,
     w_chunk: int = 0,
     static_topo: tuple | None = None,
-    unroll_blk: int = 8,
+    unroll_blk: int = 32,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """VMEM-resident peeling decode; sequential (MATLAB) schedule.
 
@@ -1320,11 +1320,14 @@ def peel_decode_vmem(
         sweep repeats per chunk, the same per-frame accounting as
         decoding the chunks as separate frames.
       unroll_blk: fence size of the unrolled schedule's predicated visit
-        blocks (default 8 — the round-3 register-pressure fix; the
-        unfenced program spilled 97 MB of vregs). Larger blocks widen the
-        scheduler's overlap window — useful with reordered topologies
-        (``static_topology(..., order=...)``) whose nearby visits are
-        symbol-disjoint. Unrolled schedule only.
+        blocks (the unfenced program spilled 97 MB of vregs — round 3).
+        Round-4 sweep at the headline point (scripts/bench_check_orders.py):
+        8 -> 519-522 Gbps, 16 -> 534-540, **32 -> 550-551 (default)**,
+        64 -> 543-551, 128 -> 492 (register pressure returns). Visit
+        ORDER is irrelevant (natural/split2/color all within noise at
+        equal blk) — the sweep is op-throughput-bound, not
+        dependence-depth-bound, so only the fence width that bounds
+        Mosaic's scheduling window matters. Unrolled schedule only.
 
     Returns (values, erased, iters) — (B, n, W), (B, n) bool, (B,) int32;
     with ``tiled=True`` values is (ntiles, (n+1)*b_tile, W).
