@@ -207,25 +207,36 @@ def ge_solve_packed(
     # just removes emax dead rows (and halves T) from every elimination
     # pass: (m+emax) x (wa + ceil((m+emax)/32)) -> m x (wa + ceil(m/32))
     # words per frame per pivot (~3x less traffic at the GE-hot shapes).
+    # Lane-major, batch-on-lanes layout (round 4 — the ge_solve_wide_nb
+    # lesson applied back to the binary solver): the packed [A | T] rows
+    # live as (m, C, B) with the BATCH on the minor (lane) axis. The old
+    # (B, m, C) layout put the C ~= 32 packed words on lanes — a quarter
+    # of the 128-lane vector unit, with every per-pivot pass paying the
+    # 4x lane padding; at the GE-hot hybrid points (emax=512, f_max=448)
+    # the 512-step elimination dominated the whole decode (~370 ms of a
+    # 388 ms step at PER .2031). With B on lanes every pass runs
+    # full-width for B >= 128. Pivot choices, failure flags, and solved
+    # values are unchanged (asserted vs ge_solve).
     a_top = jnp.take(arrays.h.astype(jnp.uint8), er_idx, axis=1)  # (m, B, E)
-    a_bits = jnp.transpose(a_top, (1, 0, 2)) * real[:, None, :].astype(
-        jnp.uint8
-    )  # (B, m, emax)
-    a_pk = _bits_to_words(
-        jnp.pad(a_bits, ((0, 0), (0, 0), (0, wa * 32 - emax)))
-    )  # (B, m, wa)
+    a_mb = jnp.transpose(a_top, (0, 2, 1)) * jnp.transpose(real)[
+        None
+    ].astype(jnp.uint8)  # (m, emax, B)
+    a_pad = jnp.pad(a_mb, ((0, 0), (0, wa * 32 - emax), (0, 0)))
+    bitw = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    a_pk = jnp.sum(
+        a_pad.reshape(m, wa, 32, b).astype(jnp.uint32)
+        * bitw[None, None, :, None],
+        axis=2,
+        dtype=jnp.uint32,
+    )  # (m, wa, B)
     t_pk = _bits_to_words(
         jnp.pad(jnp.eye(m, dtype=jnp.uint8), ((0, 0), (0, wt * 32 - m)))
     )  # (m, wt)
     r = jnp.concatenate(
-        [a_pk, jnp.broadcast_to(t_pk[None], (b, m, wt))], axis=2
-    )  # (B, m, wa+wt) uint32
+        [a_pk, jnp.broadcast_to(t_pk[:, :, None], (m, wt, b))], axis=1
+    )  # (m, wa+wt, B) uint32
 
-    row_iota = jnp.arange(m, dtype=jnp.int32)[None, :]
-
-    def getcol(r, col):
-        w = jax.lax.dynamic_index_in_dim(r, col >> 5, axis=2, keepdims=False)
-        return (w >> (col & 31).astype(jnp.uint32)) & jnp.uint32(1)  # (B, M)
+    row_iota = jnp.arange(m, dtype=jnp.int32)[:, None]  # (m, 1)
 
     # Swap-free elimination: instead of physically moving the pivot row to
     # position `col` (a row gather + TWO full-matrix select passes per
@@ -235,57 +246,101 @@ def ge_solve_packed(
     # no unused nonzero row is rank deficiency either way), and the solution
     # of every solvable frame is the same (tested vs ge_solve). Cuts the
     # per-pivot full-matrix passes from ~5 to ~2.
-    used0 = jnp.zeros((b, m), dtype=bool)
+    used0 = jnp.zeros((m, b), dtype=bool)
     pivrow0 = jnp.zeros((b, emax), dtype=jnp.int32)
 
     def step(col, carry):
         r, used, pivrow, failed = carry
-        colv = getcol(r, col)
+        colw = jax.lax.dynamic_index_in_dim(
+            r, col >> 5, axis=1, keepdims=False
+        )  # (m, B)
+        colv = (colw >> (col & 31).astype(jnp.uint32)) & jnp.uint32(1)
         cand = (colv != 0) & ~used
-        has = jnp.any(cand, axis=1)
-        piv = jnp.argmax(cand, axis=1).astype(jnp.int32)
-        is_piv = row_iota == piv[:, None]
-        used = used | (is_piv & has[:, None])
+        has = jnp.any(cand, axis=0)  # (B,)
+        piv = jnp.argmax(cand, axis=0).astype(jnp.int32)  # first row
+        is_piv = row_iota == piv[None, :]  # (m, B)
+        used = used | (is_piv & has[None, :])
         pivrow = pivrow.at[:, col].set(jnp.where(has, piv, 0))
-        prow = jnp.take_along_axis(r, piv[:, None, None], axis=1)  # (B,1,Wp)
-        elim = (colv != 0) & ~is_piv & has[:, None]
-        r = r ^ jnp.where(elim[:, :, None], prow, jnp.uint32(0))
+        sel = is_piv[:, None, :].astype(jnp.uint32)
+        prow = jnp.sum(r * sel, axis=0)  # (C, B): exactly one row selected
+        elim = (colv != 0) & ~is_piv & has[None, :]  # (m, B)
+        r = r ^ prow[None] * elim[:, None, :].astype(jnp.uint32)
         failed = failed | (~has & (col < nreal))
         return r, used, pivrow, failed
 
     r, _, pivrow, failed = jax.lax.fori_loop(
         0, emax, step, (r, used0, pivrow0, overflow)
     )
+    r = jnp.transpose(r, (2, 0, 1))  # back to (B, m, C) for the T gather
 
     # x = T[pivot rows] . rhs over GF(2). The virtual rows' rhs is zero, so
     # only the first m columns of T contribute.
-    rhs_top = _syndrome_known(arrays, values, 2)  # (B, m, W) uint32
     t_rows = jnp.take_along_axis(
         r[:, :, wa:], pivrow[:, :, None], axis=1
     )  # (B, emax, wt): row-op transform rows of each column's pivot
     t_bits = _words_to_bits(t_rows)[..., :m]  # (B, emax, m) int8
     w = values.shape[2]
-    cw = min(w, 64)  # 2048-bit bit-plane chunks bound the int8 intermediate
-    xs = []
-    for off in range(0, w, cw):
-        wc = min(cw, w - off)
-        rb = _words_to_bits(rhs_top[:, :, off : off + wc])  # (B, m, 32wc)
-        acc = jax.lax.dot_general(
-            t_bits,
-            rb,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int8,  # mod-256 wrap keeps the parity
-        )  # (B, emax, 32wc)
-        xs.append(_bits_to_words(acc & 1))
-    x = jnp.concatenate(xs, axis=2) if len(xs) > 1 else xs[0]
-
     writable = real & ~overflow[:, None]
-    x = x * writable[:, :, None].astype(x.dtype)
-    bidx = jnp.arange(b)[:, None]
-    safe_idx = jnp.where(writable, er_idx, n)
-    values_p = _pad_n(values, 1)
-    values_p = values_p.at[bidx, safe_idx].set(x)
-    values = values_p[:, :n]
+    if jax.default_backend() != "cpu" and (4 * w) % 128 == 0:
+        # Fused VMEM kernels (the RS/NB solver's round-4 path, GF(2)
+        # flavor — ops/pallas_nbmm.py): the XLA formulation's costs at
+        # the hybrid PER-.2031 shape (B=448, emax=512, W=256 words) were
+        # syndrome 28.9 ms (a ~6 GB neighbor-gather intermediate) and
+        # T-apply + scatter ~64 ms (chunked (B, m, 32wc) bit tensors);
+        # each byte-bit plane is one int8 MXU contraction in VMEM and
+        # placement is the one-hot matmul (erased slots zero).
+        from ldpc_erasure_codes_tpu.ops.pallas_nbmm import (
+            f2_apply_scatter,
+            f2_matvec_wide,
+        )
+
+        m_pad = -(-m // 8) * 8
+        e_pad = -(-emax // 8) * 8
+        n_pad = max(n + 1, -(-n // 32) * 32)
+        values_p = jnp.pad(values, ((0, 0), (0, n_pad - n), (0, 0)))
+        # In-jit byte view of the wide words (free; a materialized uint8
+        # HBM array would pay a physical retile).
+        vb = jax.lax.bitcast_convert_type(values_p, jnp.uint8).reshape(
+            b, n_pad, 4 * w
+        )
+        ht = jnp.pad(
+            arrays.h.astype(jnp.int8), ((0, m_pad - m), (0, n_pad - n))
+        )
+        rhs_mw = f2_matvec_wide(vb, ht)
+        tb = jnp.pad(
+            t_bits, ((0, 0), (0, e_pad - emax), (0, m_pad - m))
+        )
+        safe_idx = jnp.pad(
+            jnp.where(writable, er_idx, n).astype(jnp.int32),
+            ((0, 0), (0, e_pad - emax)),
+            constant_values=n,
+        )
+        out_b = f2_apply_scatter(vb, rhs_mw, tb, safe_idx)
+        values = jax.lax.bitcast_convert_type(
+            out_b.reshape(b, n_pad, w, 4), jnp.uint32
+        )[:, :n]
+    else:
+        rhs_top = _syndrome_known(arrays, values, 2)  # (B, m, W) uint32
+        cw = min(w, 64)  # 2048-bit bit-plane chunks bound the int8 temp
+        xs = []
+        for off in range(0, w, cw):
+            wc = min(cw, w - off)
+            rb = _words_to_bits(rhs_top[:, :, off : off + wc])  # (B,m,32wc)
+            acc = jax.lax.dot_general(
+                t_bits,
+                rb,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int8,  # mod-256 wrap keeps parity
+            )  # (B, emax, 32wc)
+            xs.append(_bits_to_words(acc & 1))
+        x = jnp.concatenate(xs, axis=2) if len(xs) > 1 else xs[0]
+
+        x = x * writable[:, :, None].astype(x.dtype)
+        bidx = jnp.arange(b)[:, None]
+        safe_idx = jnp.where(writable, er_idx, n)
+        values_p = _pad_n(values, 1)
+        values_p = values_p.at[bidx, safe_idx].set(x)
+        values = values_p[:, :n]
     solved = ~failed
     erased = erased & ~solved[:, None]
     return values, erased, failed

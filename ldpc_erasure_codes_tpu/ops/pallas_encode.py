@@ -66,7 +66,7 @@ def static_enc_topology(arrays, k: int) -> tuple:
 
 def _make_unrolled_kernel(
     *, n: int, k: int, m: int, bt: int, gf_order: int, topo: tuple,
-    wc: int, w_chunks: int,
+    wc: int, w_chunks: int, blk: int = 8,
 ):
     """Constant-topology unrolled back-substitution (round 3): the
     decoder's ``schedule="unrolled"`` lesson applied to the encoder. The
@@ -74,9 +74,13 @@ def _make_unrolled_kernel(
     store (aliasing undecidable); with the topology baked in, Mosaic sees
     the true ~27-level dependency DAG and pipelines independent rows. Rows
     are fenced into 8-row opaquely-predicated blocks to bound register
-    pressure. GF(256) coefficients multiply via compile-time bits
-    (:func:`pallas_peel._gf_mul_const`) — only set bits emit ops."""
-    BLK = 8
+    pressure (width ``blk``; measured FLAT 8 vs 32 at the NB B=512 point
+    — encode share 12.9 vs 14.1 ms, within noise: the encoder's true
+    back-substitution DAG binds, not the fence width, so the decoder's
+    round-4 fence win does not transfer). GF(256) coefficients
+    multiply via compile-time bits (:func:`pallas_peel._gf_mul_const`) —
+    only set bits emit ops."""
+    BLK = blk
 
     def kernel(
         tab_ref,   # (1, 1) int32 dummy — topology baked into the program
@@ -213,7 +217,7 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "gf_order", "b_tile", "tiled_out", "interpret", "w_chunk",
-        "static_topo",
+        "static_topo", "unroll_blk",
     ),
 )
 def encode_packed_vmem(
@@ -226,6 +230,7 @@ def encode_packed_vmem(
     interpret: bool = False,
     w_chunk: int = 0,
     static_topo: tuple | None = None,
+    unroll_blk: int = 8,
 ) -> jax.Array:
     """VMEM-resident packed systematic encode: (B, k, W) -> (B, n, W).
 
@@ -302,7 +307,7 @@ def encode_packed_vmem(
             )
         kernel = _make_unrolled_kernel(
             n=n, k=k, m=m, bt=bt, gf_order=gf_order, topo=static_topo,
-            wc=wc, w_chunks=w_chunks,
+            wc=wc, w_chunks=w_chunks, blk=unroll_blk,
         )
     else:
         kernel = _make_kernel(

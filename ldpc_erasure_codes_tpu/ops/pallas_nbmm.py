@@ -279,6 +279,184 @@ def gf_matmul_batched(
     )(rhs_mw, mats)
 
 
+def _f2_matmul_body(y8, ht, interpret):
+    # GF(2) companion of _matmul_body: y8 (K_pad, Wb) uint8 payload BYTES
+    # (contracted symbol axis on sublanes), ht (M, K_pad) int8 0/1 matrix;
+    # returns the (M, Wb) uint8 parity product. Byte-bit planes: output
+    # bit c = parity(ht @ bit_c(y8)) — 8 MXU contractions of the SAME
+    # matrix, bit extraction via the SWAR word trick (8-bit vector shifts
+    # don't legalize; the uint32 re-view + 0x01010101 mask extracts bit c
+    # of four bytes per op, and the double bitcast is elementwise).
+    lane_mask = jnp.uint32(0x01010101)
+    res = None
+    for c in range(8):
+        if interpret:
+            plane = ((y8 >> c) & 1).astype(jnp.int8)
+        else:
+            yw = pltpu.bitcast(y8, jnp.uint32)
+            plane = pltpu.bitcast((yw >> c) & lane_mask, jnp.int8)
+        acc = jax.lax.dot_general(
+            ht,
+            plane,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (M, Wb)
+        r = (acc & 1) << c
+        res = r if res is None else res + r
+    return res.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("wc", "interpret"))
+def f2_matvec_wide(
+    values: jax.Array,
+    ht: jax.Array,
+    *,
+    wc: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """rhs[b] = H . y[b] over GF(2) on byte-viewed wide words, fused.
+
+    The binary-solver companion of :func:`gf_matvec_wide`
+    (ops/ge.py::ge_solve_packed's syndrome): the XLA neighbor-gather
+    formulation materializes a (B, m, dmax, W) intermediate (~6 GB and
+    28.9 ms at the hybrid PER-.2031 shape); here each of the 8 byte-bit
+    planes rides one int8 MXU contraction in VMEM.
+
+    Args:
+      values: (B, n_pad, Wb) uint8 — wide uint32 words byte-viewed via an
+        in-jit bitcast (free; a materialized uint8 HBM arg would pay a
+        physical retile). Erased rows zero; pad rows n.. zero.
+      ht: (m_pad, n_pad) int8 0/1 check matrix (H, row-major), pad zero.
+      wc: byte chunk per grid program (0 = auto); must divide Wb.
+
+    Returns:
+      (B, m_pad, Wb) uint8 parity words (byte view), pad rows zero.
+    """
+    b, n_pad, wb = values.shape
+    m_pad, n_pad2 = ht.shape
+    if n_pad2 != n_pad or m_pad % 8:
+        raise ValueError(f"ht {ht.shape} vs values {values.shape}")
+    if wc <= 0:
+        budget = 48 * 1024 * 1024
+        wc = min(wb, max(128, (budget // (m_pad * 4)) // 128 * 128))
+        while wb % wc:
+            wc -= 128
+    if wb % wc:
+        raise ValueError(f"wc={wc} must divide Wb={wb}")
+
+    def kern(y_ref, ht_ref, out_ref):
+        out_ref[0] = _f2_matmul_body(y_ref[0], ht_ref[...], interpret)
+
+    return pl.pallas_call(
+        kern,
+        grid=(b, wb // wc),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_pad, wc), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (m_pad, n_pad), lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, m_pad, wc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, m_pad, wb), jnp.uint8),
+        interpret=interpret,
+    )(values, ht)
+
+
+@functools.partial(jax.jit, static_argnames=("wc", "interpret"))
+def f2_apply_scatter(
+    values_p: jax.Array,
+    rhs_mw: jax.Array,
+    t_bits: jax.Array,
+    idx: jax.Array,
+    *,
+    wc: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """GF(2) transform apply + one-hot MXU placement, fused.
+
+    Binary companion of :func:`gf_apply_scatter`: per frame,
+    ``x = T_b . rhs_b`` over GF(2) (byte-bit planes on the MXU), then
+    ``out = values ^ onehot(idx) @ x`` places solved rows (erased slots
+    are zero by invariant).
+
+    Args:
+      values_p: (B, n_pad, Wb) uint8 byte-viewed frames, zero in erased
+        slots; rows n.. pad/dump.
+      rhs_mw: (B, m_pad, Wb) uint8 — :func:`f2_matvec_wide` output.
+      t_bits: (B, e_pad, m_pad) int8 0/1 per-frame transform rows (pad
+        rows/cols zero).
+      idx: (B, e_pad) int32 target rows in [0, n_pad); discarded slots
+        point at a dump row >= the real n.
+      wc: byte chunk per grid program (0 = auto); must divide Wb.
+
+    Returns:
+      (B, n_pad, Wb) uint8 — values with the solved rows placed.
+    """
+    b, n_pad, wb = values_p.shape
+    _, m_pad, _ = rhs_mw.shape
+    _, e_pad, m_pad2 = t_bits.shape
+    if m_pad2 != m_pad or e_pad % 8 or idx.shape != (b, e_pad):
+        raise ValueError(
+            f"shapes incompatible: t_bits {t_bits.shape}, rhs "
+            f"{rhs_mw.shape}, idx {idx.shape}"
+        )
+    if idx.dtype != jnp.int32:
+        raise ValueError(f"idx must be int32, got {idx.dtype}")
+    if wc <= 0:
+        budget = 48 * 1024 * 1024
+        wc = min(wb, max(128, (budget // (e_pad * 4)) // 128 * 128))
+        while wb % wc:
+            wc -= 128
+    if wb % wc:
+        raise ValueError(f"wc={wc} must divide Wb={wb}")
+
+    def kern(v_ref, y_ref, t_ref, idx_ref, out_ref):
+        x = _f2_matmul_body(y_ref[0], t_ref[0], interpret)  # (e_pad, wc)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, e_pad), 0)
+        onehot = (rows == idx_ref[0]).astype(jnp.int8)
+        placed = jax.lax.dot_general(
+            onehot,
+            x.astype(jnp.int8),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out_ref[0] = v_ref[0] ^ placed.astype(jnp.uint8)
+
+    return pl.pallas_call(
+        kern,
+        grid=(b, wb // wc),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_pad, wc), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, m_pad, wc), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, e_pad, m_pad), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, e_pad), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_pad, wc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, wb), jnp.uint8),
+        interpret=interpret,
+    )(values_p, rhs_mw, t_bits, idx[:, None, :])
+
+
 @functools.partial(
     jax.jit, static_argnames=("wc", "interpret", "prim_poly")
 )

@@ -116,6 +116,69 @@ def test_apply_scatter_matches_separate():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_f2_matvec_and_apply_scatter():
+    """GF(2) kernel pair == direct parity computation on byte views."""
+    from ldpc_erasure_codes_tpu.ops.pallas_nbmm import (
+        f2_apply_scatter,
+        f2_matvec_wide,
+    )
+
+    rng = np.random.default_rng(5)
+    b, n_pad, m_pad, e_pad, wb = 2, 64, 16, 16, 256
+    n_real, e_real = 60, 12
+    h = (rng.random((m_pad, n_pad)) < 0.2).astype(np.int8)
+    h[14:, :] = 0  # pad check rows
+    h[:, n_real:] = 0
+    y = rng.integers(0, 256, (b, n_pad, wb), dtype=np.uint8)
+    y[:, n_real:, :] = 0
+    rhs = f2_matvec_wide(jnp.asarray(y), jnp.asarray(h), interpret=True)
+    # Direct parity: bit c of rhs byte = parity over symbols of bit c.
+    ref = np.zeros((b, m_pad, wb), np.uint8)
+    for f in range(b):
+        for c in range(8):
+            plane = (y[f] >> c) & 1
+            ref[f] |= (((h.astype(np.int64) @ plane) & 1) << c).astype(
+                np.uint8
+            )
+    np.testing.assert_array_equal(np.asarray(rhs), ref)
+
+    t = (rng.random((b, e_pad, m_pad)) < 0.3).astype(np.int8)
+    t[:, e_real:, :] = 0
+    idx = np.stack(
+        [
+            np.concatenate(
+                [
+                    rng.choice(n_real, size=e_real, replace=False),
+                    np.full(e_pad - e_real, n_real),
+                ]
+            )
+            for _ in range(b)
+        ]
+    ).astype(np.int32)
+    vals = y.copy()
+    for f in range(b):
+        vals[f, idx[f, :e_real]] = 0  # erased slots zero
+    out = f2_apply_scatter(
+        jnp.asarray(vals), rhs, jnp.asarray(t), jnp.asarray(idx),
+        interpret=True,
+    )
+    # Reference x = T . rhs over GF(2), placed at idx.
+    refv = vals.copy()
+    for f in range(b):
+        x = np.zeros((e_pad, wb), np.uint8)
+        for c in range(8):
+            plane = (ref[f] >> c) & 1
+            x |= (((t[f].astype(np.int64) @ plane) & 1) << c).astype(
+                np.uint8
+            )
+        for i in range(e_real):
+            refv[f, idx[f, i]] = x[i]
+    got = np.asarray(out).copy()
+    got[:, n_real:, :] = 0
+    refv[:, n_real:, :] = 0
+    np.testing.assert_array_equal(got, refv)
+
+
 def test_matvec_validates_chunk():
     y = jnp.zeros((1, 16, 96), jnp.uint8)
     img = jnp.zeros((128, 64), jnp.int8)
