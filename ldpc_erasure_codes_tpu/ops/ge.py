@@ -268,10 +268,38 @@ def ge_solve_packed(
         failed = failed | (~has & (col < nreal))
         return r, used, pivrow, failed
 
-    r, _, pivrow, failed = jax.lax.fori_loop(
-        0, emax, step, (r, used0, pivrow0, overflow)
-    )
-    r = jnp.transpose(r, (2, 0, 1))  # back to (B, m, C) for the T gather
+    if jax.default_backend() != "cpu":
+        # VMEM-resident elimination (ops/pallas_elim.py): the XLA
+        # fori_loop above re-streams the packed cube from HBM every pivot
+        # (~74 GB over 512 steps at the GE-hot hybrid shape — measured
+        # ~80 ms of the 151 ms solve); the kernel DMAs the cube into
+        # VMEM once per 128-frame lane tile and runs all pivots on-chip.
+        # Pivot choices, failure flags, and the eliminated cube are
+        # byte-identical (tests/test_pallas_elim.py).
+        from ldpc_erasure_codes_tpu.ops.pallas_elim import f2_eliminate
+
+        m_pad8 = -(-m // 8) * 8
+        bt_e = 128
+        b_pad = -(-b // bt_e) * bt_e
+        r_k = jnp.pad(
+            jnp.transpose(r, (1, 0, 2)),
+            ((0, 0), (0, m_pad8 - m), (0, b_pad - b)),
+        )  # (C, m_pad, B_pad); pad rows/frames are all-zero (never pivot)
+        nreal_k = jnp.pad(
+            nreal[None, :].astype(jnp.int32), ((0, 0), (0, b_pad - b))
+        )
+        r_o, piv_o, fail_o = f2_eliminate(
+            r_k, nreal_k, emax=emax, b_tile=bt_e
+        )
+        # Kernel layout is (C, m_pad, B) -> back to (B, m, C).
+        r = jnp.transpose(r_o[:, :m, :b], (2, 1, 0))
+        pivrow = jnp.transpose(piv_o[:, :b], (1, 0))
+        failed = overflow | (fail_o[0, :b] != 0)
+    else:
+        r, _, pivrow, failed = jax.lax.fori_loop(
+            0, emax, step, (r, used0, pivrow0, overflow)
+        )
+        r = jnp.transpose(r, (2, 0, 1))  # back to (B, m, C)
 
     # x = T[pivot rows] . rhs over GF(2). The virtual rows' rhs is zero, so
     # only the first m columns of T contribute.

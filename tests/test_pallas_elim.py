@@ -1,0 +1,68 @@
+"""VMEM-resident packed elimination vs a NumPy reference.
+
+The kernel (ops/pallas_elim.py) must produce the SAME eliminated cube,
+pivot-row choices, and failure flags as the swap-free formulation it
+replaces (ops/ge.py::ge_solve_packed's fori_loop) — interpret mode on
+CPU, random packed systems including rank-deficient frames.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ldpc_erasure_codes_tpu.ops.pallas_elim import f2_eliminate
+
+
+def _ref_eliminate(r, nreal, emax):
+    """NumPy swap-free elimination, mirrors ops/ge.py exactly."""
+    c, m, b = r.shape
+    r = r.copy()
+    used = np.zeros((m, b), bool)
+    pivrow = np.zeros((emax, b), np.int32)
+    failed = np.zeros(b, bool)
+    for col in range(emax):
+        colw = r[col >> 5]
+        colv = (colw >> np.uint32(col & 31)) & 1
+        cand = (colv == 1) & ~used
+        has = cand.any(axis=0)
+        piv = np.where(has, cand.argmax(axis=0), m)
+        is_piv = np.arange(m)[:, None] == piv[None, :]
+        used |= is_piv
+        pivrow[col] = np.where(has, piv, 0)
+        sel = is_piv.astype(np.uint32)
+        prow = (r * sel[None]).sum(axis=1, dtype=np.uint32)  # (c, b)
+        elim = colv * (1 - sel) * has.astype(np.uint32)
+        r ^= prow[:, None, :] * elim[None]
+        failed |= (~has) & (col < nreal)
+    return r, pivrow, failed
+
+
+def test_matches_reference_elimination():
+    rng = np.random.default_rng(0)
+    c, m, b, emax = 4, 24, 256, 40
+    # Sparse-ish random packed rows; a few all-zero frames force failures.
+    r = rng.integers(0, 1 << 32, (c, m, b), dtype=np.uint32)
+    r &= rng.integers(0, 1 << 32, (c, m, b), dtype=np.uint32)
+    r[:, :, :3] = 0
+    r[:, 20:, :] = 0  # pad-style zero rows
+    nreal = rng.integers(0, emax + 1, b).astype(np.int32)
+    ref_r, ref_piv, ref_fail = _ref_eliminate(r, nreal, emax)
+    out_r, out_piv, out_fail = f2_eliminate(
+        jnp.asarray(r), jnp.asarray(nreal[None]), emax=emax, b_tile=128,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out_r), ref_r)
+    np.testing.assert_array_equal(np.asarray(out_piv), ref_piv)
+    np.testing.assert_array_equal(np.asarray(out_fail)[0] != 0, ref_fail)
+
+
+def test_validates_shapes():
+    import pytest
+
+    with pytest.raises(ValueError):
+        f2_eliminate(
+            jnp.zeros((2, 8, 100), jnp.uint32),
+            jnp.zeros((1, 100), jnp.int32),
+            emax=8,
+            b_tile=64,
+            interpret=True,
+        )
