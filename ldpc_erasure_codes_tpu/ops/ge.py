@@ -542,10 +542,34 @@ def ge_solve_wide_nb(
         failed = failed | (~has & (col < nreal))
         return r, used, pivrow, failed
 
-    r, _, pivrow, failed = jax.lax.fori_loop(
-        0, emax, step, (r, used0, pivrow0, overflow)
-    )
-    r = jnp.transpose(r, (2, 0, 1))  # back to (B, m, C) for the T gather
+    if jax.default_backend() != "cpu":
+        # VMEM-resident elimination (ops/pallas_elim.py::gf256_eliminate,
+        # same rationale and layout as the binary f2_eliminate): the XLA
+        # fori_loop re-streams the packed cube from HBM every pivot.
+        from ldpc_erasure_codes_tpu.ops.pallas_elim import gf256_eliminate
+
+        m_pad8 = -(-m // 8) * 8
+        bt_e = 128
+        b_pad = -(-b // bt_e) * bt_e
+        r_k = jnp.pad(
+            jnp.transpose(r, (1, 0, 2)),
+            ((0, 0), (0, m_pad8 - m), (0, b_pad - b)),
+        )  # (C, m_pad, B_pad)
+        nreal_k = jnp.pad(
+            nreal[None, :].astype(jnp.int32), ((0, 0), (0, b_pad - b))
+        )
+        r_o, piv_o, fail_o = gf256_eliminate(
+            r_k, nreal_k, emax=emax, b_tile=bt_e,
+            prim_poly=DEFAULT_PRIM_POLY,
+        )
+        r = jnp.transpose(r_o[:, :m, :b], (2, 1, 0))  # (B, m, C)
+        pivrow = jnp.transpose(piv_o[:, :b], (1, 0))
+        failed = overflow | (fail_o[0, :b] != 0)
+    else:
+        r, _, pivrow, failed = jax.lax.fori_loop(
+            0, emax, step, (r, used0, pivrow0, overflow)
+        )
+        r = jnp.transpose(r, (2, 0, 1))  # back to (B, m, C)
 
     # rhs = H_nb . y_known: erased slots hold zero, so the full-H product is
     # the known-only sum. Then x = T[pivot rows] . rhs per frame.

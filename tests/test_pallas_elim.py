@@ -55,6 +55,67 @@ def test_matches_reference_elimination():
     np.testing.assert_array_equal(np.asarray(out_fail)[0] != 0, ref_fail)
 
 
+def _ref_eliminate_nb(r, nreal, emax):
+    """NumPy GF(256) swap-free elimination, mirrors ge_solve_wide_nb."""
+    from ldpc_erasure_codes_tpu import gf
+
+    t = gf.build_tables()
+    mul, inv = t.mul, t.inv
+    c, m, b = r.shape
+    cols = np.zeros((4 * c, m, b), np.uint8)
+    for w in range(c):
+        for j in range(4):
+            cols[4 * w + j] = (r[w] >> (8 * j)) & 0xFF
+    used = np.zeros((m, b), bool)
+    pivrow = np.zeros((emax, b), np.int32)
+    failed = np.zeros(b, bool)
+    for col in range(emax):
+        colv = cols[col]
+        cand = (colv != 0) & ~used
+        has = cand.any(axis=0)
+        piv = np.where(has, cand.argmax(axis=0), m)
+        is_piv = np.arange(m)[:, None] == piv[None, :]
+        used |= is_piv
+        pivrow[col] = np.where(has, piv, 0)
+        for f in range(b):
+            if not has[f]:
+                failed[f] |= col < nreal[f]
+                continue
+            p = piv[f]
+            pe = colv[p, f]
+            prow = mul[cols[:, p, f], inv[pe]]
+            cols[:, p, f] = prow
+            fac = cols[col, :, f].copy()
+            fac[p] = 0
+            cols[:, :, f] ^= mul[prow[:, None], fac[None, :]]
+    # repack
+    out = np.zeros_like(r)
+    for w in range(c):
+        for j in range(4):
+            out[w] |= cols[4 * w + j].astype(np.uint32) << (8 * j)
+    return out, pivrow, failed
+
+
+def test_nb_matches_reference_elimination():
+    from ldpc_erasure_codes_tpu.ops.pallas_elim import gf256_eliminate
+
+    rng = np.random.default_rng(2)
+    c, m, b, emax = 6, 16, 128, 20
+    r = rng.integers(0, 1 << 32, (c, m, b), dtype=np.uint32)
+    r &= rng.integers(0, 1 << 32, (c, m, b), dtype=np.uint32)
+    r[:, :, :2] = 0
+    r[:, 14:, :] = 0
+    nreal = rng.integers(0, emax + 1, b).astype(np.int32)
+    ref_r, ref_piv, ref_fail = _ref_eliminate_nb(r, nreal, emax)
+    out_r, out_piv, out_fail = gf256_eliminate(
+        jnp.asarray(r), jnp.asarray(nreal[None]), emax=emax, b_tile=128,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out_piv), ref_piv)
+    np.testing.assert_array_equal(np.asarray(out_fail)[0] != 0, ref_fail)
+    np.testing.assert_array_equal(np.asarray(out_r), ref_r)
+
+
 def test_validates_shapes():
     import pytest
 
