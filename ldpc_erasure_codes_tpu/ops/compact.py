@@ -91,8 +91,16 @@ def compact_ge_solve(
         v_sub, e_sub, failed_sub = ge_solve(
             arrays, values[sel], erased[sel], emax=emax, gf_order=gf_order
         )
-    keep = is_resid[:, None, None] if values.ndim == 3 else is_resid[:, None]
-    values = values.at[sel].set(jnp.where(keep, v_sub, values[sel]))
-    erased = erased.at[sel].set(jnp.where(is_resid[:, None], e_sub, erased[sel]))
+    # v_sub rows of non-residual filler frames are IDENTICAL to their
+    # inputs (the GE writes only erased slots, and fillers have none), so
+    # the whole sub-batch scatters back directly — the old
+    # where(is_resid, v_sub, values[sel]) guard re-gathered the 935 MB
+    # wide cube a second time and added a select pass for nothing
+    # (failed residual frames legitimately carry garbage in erased slots
+    # either way; both contracts gate on `failed`).
+    values = values.at[sel].set(v_sub)
+    erased = erased.at[sel].set(
+        jnp.where(is_resid[:, None], e_sub, erased[sel])
+    )
     failed = jnp.zeros((b,), bool).at[sel].set(failed_sub & is_resid)
     return values, erased, failed | overflow
