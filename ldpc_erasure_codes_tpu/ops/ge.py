@@ -156,15 +156,23 @@ def _bits_to_words(bits: jax.Array) -> jax.Array:
     return jnp.sum(b * weights, axis=-1, dtype=jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("emax",))
+@functools.partial(jax.jit, static_argnames=("emax", "return_rows"))
 def ge_solve_packed(
     arrays: CodeArrays,
     values: jax.Array,
     erased: jax.Array,
     *,
     emax: int,
+    return_rows: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Binary wide-symbol GE with packed-bit elimination + one MXU apply.
+
+    ``return_rows=True`` skips the in-frame placement and returns
+    ``(x, safe_idx, erased, failed)`` instead: x is the (B, emax, W)
+    uint32 solved rows (ZERO on non-writable slots), safe_idx the
+    (B, emax) int32 target symbol of each row (== n for discards) — for
+    callers that scatter into a different layout (the tile-major hybrid
+    writeback, ops/hybrid.py).
 
     Same contract and results as :func:`ge_solve` (gf_order=2, wide uint32
     values), restructured for the memory hierarchy: :func:`ge_solve` streams
@@ -338,6 +346,20 @@ def ge_solve_packed(
         tb = jnp.pad(
             t_bits, ((0, 0), (0, e_pad - emax), (0, m_pad - m))
         )
+        if return_rows:
+            from ldpc_erasure_codes_tpu.ops.pallas_nbmm import (
+                f2_matmul_batched,
+            )
+
+            xb = f2_matmul_batched(rhs_mw, tb)[:, :emax, :]
+            x = jax.lax.bitcast_convert_type(
+                xb.reshape(b, emax, w, 4), jnp.uint32
+            )
+            x = jnp.where(writable[:, :, None], x, jnp.uint32(0))
+            safe_idx = jnp.where(writable, er_idx, n).astype(jnp.int32)
+            solved = ~failed
+            erased = erased & ~solved[:, None]
+            return x, safe_idx, erased, failed
         safe_idx = jnp.pad(
             jnp.where(writable, er_idx, n).astype(jnp.int32),
             ((0, 0), (0, e_pad - emax)),
@@ -364,8 +386,12 @@ def ge_solve_packed(
         x = jnp.concatenate(xs, axis=2) if len(xs) > 1 else xs[0]
 
         x = x * writable[:, :, None].astype(x.dtype)
+        safe_idx = jnp.where(writable, er_idx, n).astype(jnp.int32)
+        if return_rows:
+            solved = ~failed
+            erased = erased & ~solved[:, None]
+            return x, safe_idx, erased, failed
         bidx = jnp.arange(b)[:, None]
-        safe_idx = jnp.where(writable, er_idx, n)
         values_p = _pad_n(values, 1)
         values_p = values_p.at[bidx, safe_idx].set(x)
         values = values_p[:, :n]

@@ -16,7 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from ldpc_erasure_codes_tpu.ops.arrays import CodeArrays
-from ldpc_erasure_codes_tpu.ops.compact import compact_ge_solve
+from ldpc_erasure_codes_tpu.ops.compact import (
+    compact_ge_solve,
+    residual_order,
+)
 from ldpc_erasure_codes_tpu.ops.ge import ge_solve, ge_solve_packed
 from ldpc_erasure_codes_tpu.ops.pallas_peel import (
     default_b_tile,
@@ -132,9 +135,39 @@ def hybrid_decode(
         v, e = args
         if not tiled:
             return ge_flat(v, e)
+        bt = v.shape[1] // (n + 1)
+        if (
+            ge_subbatch > 0
+            and gf_order == 2
+            and ge_impl in ("auto", "packed")
+        ):
+            # Tile-direct writeback (round 4): the old chain untiled the
+            # FULL batch, scattered the solved sub-batch into it, and
+            # re-tiled — two full-batch HBM relayouts plus a wide-cube
+            # scatter, measured ~170 ms of glue at the GE-hot .2031
+            # point, MORE than the GE itself. Here the GE returns solved
+            # ROWS (ge_solve_packed(return_rows=True)) and they scatter
+            # straight into the tile-major tensor: frame f's symbol s
+            # lives at [f // bt, s * bt + f % bt, :], and discarded slots
+            # target the pad block (row n), which stays zero because
+            # non-writable rows of x are zeroed.
+            sel, is_resid, overflow = residual_order(e, ge_subbatch)
+            vf_sub = untile_wide(v, b, n)[sel]
+            x, sidx, e_sub, failed_sub = ge_solve_packed(
+                arrays, vf_sub, e[sel], emax=emax, return_rows=True
+            )
+            t_idx = sel // bt
+            off = sel % bt
+            rows = sidx * bt + off[:, None]
+            v = v.at[t_idx[:, None], rows].set(x)
+            e = e.at[sel].set(jnp.where(is_resid[:, None], e_sub, e[sel]))
+            failed = (
+                jnp.zeros((b,), bool).at[sel].set(failed_sub & is_resid)
+                | overflow
+            )
+            return v, e, failed
         # Untile/retile only inside the residual branch: the all-peeled
         # batch (the common case at production PER) skips this entirely.
-        bt = v.shape[1] // (n + 1)
         vf = untile_wide(v, b, n)
         if gf_order == 256:
             vf = jax.lax.bitcast_convert_type(vf, jnp.uint8).reshape(

@@ -369,6 +369,64 @@ def f2_matvec_wide(
 
 
 @functools.partial(jax.jit, static_argnames=("wc", "interpret"))
+def f2_matmul_batched(
+    rhs_mw: jax.Array,
+    t_bits: jax.Array,
+    *,
+    wc: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-frame x[b] = T_b . rhs[b] over GF(2), fused in VMEM (no
+    placement — the rows-only companion of :func:`f2_apply_scatter`, for
+    callers that scatter solved rows into a DIFFERENT layout, e.g. the
+    tile-major hybrid writeback).
+
+    Args:
+      rhs_mw: (B, m_pad, Wb) uint8 — :func:`f2_matvec_wide` output.
+      t_bits: (B, e_pad, m_pad) int8 0/1 per-frame transform rows.
+
+    Returns:
+      (B, e_pad, Wb) uint8 per-frame products.
+    """
+    b, m_pad, wb = rhs_mw.shape
+    _, e_pad, m_pad2 = t_bits.shape
+    if m_pad2 != m_pad or e_pad % 8:
+        raise ValueError(
+            f"shapes incompatible: t_bits {t_bits.shape}, rhs {rhs_mw.shape}"
+        )
+    if wc <= 0:
+        budget = 48 * 1024 * 1024
+        wc = min(wb, max(128, (budget // (e_pad * 4)) // 128 * 128))
+        while wb % wc:
+            wc -= 128
+    if wb % wc:
+        raise ValueError(f"wc={wc} must divide Wb={wb}")
+
+    def kern(y_ref, t_ref, out_ref):
+        out_ref[0] = _f2_matmul_body(y_ref[0], t_ref[0], interpret)
+
+    return pl.pallas_call(
+        kern,
+        grid=(b, wb // wc),
+        in_specs=[
+            pl.BlockSpec(
+                (1, m_pad, wc), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, e_pad, m_pad), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, e_pad, wc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, e_pad, wb), jnp.uint8),
+        interpret=interpret,
+    )(rhs_mw, t_bits)
+
+
+@functools.partial(jax.jit, static_argnames=("wc", "interpret"))
 def f2_apply_scatter(
     values_p: jax.Array,
     rhs_mw: jax.Array,
