@@ -50,6 +50,7 @@ def main() -> None:
     b = int(os.environ.get("NB_BATCH", "64" if quick else "512"))
     wb = int(os.environ.get("NB_WB", "1024"))  # bytes/symbol = S 8192 bits
     bt = int(os.environ.get("NB_TILE", "32"))
+    ublk = int(os.environ.get("NB_UNROLL_BLK", "32"))
     per = 0.1406
     reps = 3 if quick else 10
     key = jax.random.key(0)
@@ -58,7 +59,9 @@ def main() -> None:
     enc_topo = static_enc_topology(arrays, code.k) if unroll else None
     peel_topo = static_topology(arrays) if unroll else None
     peel_kw = (
-        dict(schedule="unrolled", static_topo=peel_topo) if unroll else {}
+        dict(schedule="unrolled", static_topo=peel_topo, unroll_blk=ublk)
+        if unroll
+        else {}
     )
 
     def digest32(x):
