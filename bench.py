@@ -43,11 +43,14 @@ import jax.numpy as jnp
 
 BASELINE_GBPS = 36.3
 
-# A cold unrolled Mosaic compile measured 61.5 s on the axon tunnel, but
-# queueing behind another remote compile has been observed to stretch a
-# cold warmup past 300 s; only attempt it cold when the budget clearly
-# covers the worst case.
-UNROLLED_COLD_BUDGET_S = 1200.0
+# A cold unrolled Mosaic compile measured 61.5 s on the axon tunnel and a
+# fresh-process cold end-to-end run completed in ~2m34s; queueing behind
+# another remote compile can stretch that further, so the cold attempt
+# needs clear headroom — but the threshold must sit BELOW the default
+# BENCH_BUDGET_S (600), or a fresh machine's default run falls back to
+# seq, marks only the seq key warm, and the unrolled fast path is never
+# reached by default invocations (round-4 review finding).
+UNROLLED_COLD_BUDGET_S = 420.0
 
 
 def choose_schedule(

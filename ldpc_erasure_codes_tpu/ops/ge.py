@@ -164,8 +164,11 @@ def ge_solve_packed(
     *,
     emax: int,
     return_rows: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, ...]:
     """Binary wide-symbol GE with packed-bit elimination + one MXU apply.
+
+    Returns (values, erased, failed), or with ``return_rows=True`` the
+    4-tuple (x, safe_idx, erased, failed) described below.
 
     ``return_rows=True`` skips the in-frame placement and returns
     ``(x, safe_idx, erased, failed)`` instead: x is the (B, emax, W)
@@ -276,7 +279,15 @@ def ge_solve_packed(
         failed = failed | (~has & (col < nreal))
         return r, used, pivrow, failed
 
-    if jax.default_backend() != "cpu":
+    # The VMEM elimination holds the cube twice (in block + out block)
+    # per 128-frame lane tile; shapes whose 2x cube exceeds the usable
+    # VMEM (big-m codes with wide T, e.g. (4000,2000): 65 words x 2000
+    # rows x 128 lanes x 4 B x 2 = 133 MB > 128) fall back to the XLA
+    # fori elimination rather than failing the Mosaic compile.
+    _cube_fits = (
+        2 * (wa + wt) * (-(-m // 8) * 8) * 128 * 4 <= 100 * 1024 * 1024
+    )
+    if jax.default_backend() != "cpu" and _cube_fits:
         # VMEM-resident elimination (ops/pallas_elim.py): the XLA
         # fori_loop above re-streams the packed cube from HBM every pivot
         # (~74 GB over 512 steps at the GE-hot hybrid shape — measured
@@ -332,7 +343,11 @@ def ge_solve_packed(
 
         m_pad = -(-m // 8) * 8
         e_pad = -(-emax // 8) * 8
-        n_pad = max(n + 1, -(-n // 32) * 32)
+        # ceil32(n + 1), NOT max(n+1, ceil32(n)): when n % 32 == 0 (the
+        # shipped (4000,2000) code) the latter gives an odd n_pad, and the
+        # kernels' in-VMEM uint8->uint32 sublane bitcast needs the row
+        # count divisible by 4.
+        n_pad = -(-(n + 1) // 32) * 32
         values_p = jnp.pad(values, ((0, 0), (0, n_pad - n), (0, 0)))
         # In-jit byte view of the wide words (free; a materialized uint8
         # HBM array would pay a physical retile).
@@ -568,7 +583,11 @@ def ge_solve_wide_nb(
         failed = failed | (~has & (col < nreal))
         return r, used, pivrow, failed
 
-    if jax.default_backend() != "cpu":
+    # Same 2x-cube VMEM guard as the binary solver.
+    _cube_fits = (
+        2 * (wa + wt) * (-(-m // 8) * 8) * 128 * 4 <= 100 * 1024 * 1024
+    )
+    if jax.default_backend() != "cpu" and _cube_fits:
         # VMEM-resident elimination (ops/pallas_elim.py::gf256_eliminate,
         # same rationale and layout as the binary f2_eliminate): the XLA
         # fori_loop re-streams the packed cube from HBM every pivot.
@@ -620,7 +639,11 @@ def ge_solve_wide_nb(
         # lane-aligned input (rows n..n_pad zero) and the scatter base
         # (rows n.. = the pad-slot dump row) — the duplicate (B, ~n, W)
         # pad pass measured ~1 ms at the RS B=1024 point.
-        n_pad = max(n + 1, -(-n // 32) * 32)
+        # ceil32(n + 1), NOT max(n+1, ceil32(n)): when n % 32 == 0 (the
+        # shipped (4000,2000) code) the latter gives an odd n_pad, and the
+        # kernels' in-VMEM uint8->uint32 sublane bitcast needs the row
+        # count divisible by 4.
+        n_pad = -(-(n + 1) // 32) * 32
         values_p = jnp.pad(values, ((0, 0), (0, n_pad - n), (0, 0)))
         rhs_mw = gf_matvec_wide(values_p, h_img, out_layout="mw")
         m_pad = rhs_mw.shape[1]

@@ -336,6 +336,9 @@ def f2_matvec_wide(
     m_pad, n_pad2 = ht.shape
     if n_pad2 != n_pad or m_pad % 8:
         raise ValueError(f"ht {ht.shape} vs values {values.shape}")
+    if n_pad % 4:
+        # The in-kernel uint8->uint32 sublane bitcast merges rows 4s..4s+3.
+        raise ValueError(f"values rows {n_pad} must be a multiple of 4")
     if wc <= 0:
         budget = 48 * 1024 * 1024
         wc = min(wb, max(128, (budget // (m_pad * 4)) // 128 * 128))

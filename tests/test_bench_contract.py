@@ -33,10 +33,19 @@ import bench  # noqa: E402
 
 class TestChooseSchedule:
     def test_cold_cache_tight_budget_falls_back(self):
-        # The simulated slow path: unrolled not warm, driver-sized budget.
-        sched, note = bench.choose_schedule("pallas", None, warm=False, budget_s=600)
+        # The simulated slow path: unrolled not warm, budget below the
+        # cold-compile threshold.
+        sched, note = bench.choose_schedule("pallas", None, warm=False, budget_s=300)
         assert sched == "seq"
         assert note and "falling back" in note
+
+    def test_cold_cache_default_budget_attempts_unrolled(self):
+        # The DEFAULT budget must clear the cold threshold, or a fresh
+        # machine's default run can never warm the unrolled fast path.
+        assert bench.UNROLLED_COLD_BUDGET_S <= 600
+        sched, note = bench.choose_schedule("pallas", None, warm=False, budget_s=600)
+        assert sched == "unrolled"
+        assert note is None
 
     def test_warm_cache_keeps_unrolled(self):
         sched, note = bench.choose_schedule("pallas", None, warm=True, budget_s=600)
