@@ -623,7 +623,21 @@ def ge_solve_wide_nb(
         jnp.take_along_axis(r[:, :, wa:], pivrow[:, :, None], axis=1)
     )[:, :, :m]  # (B, emax, m)
     w = values.shape[2]
-    if jax.default_backend() != "cpu" and w % 128 == 0:
+    # VMEM gate for the fused syndrome kernel (ADVICE r4): gf_matvec_wide
+    # holds the full (8, 8*m_pad, n_pad) transposed image per program
+    # (64*m_pad*n_pad bytes — ~64 MB already at the NB-LDPC m=510/n=2040
+    # shape) plus the int32 accumulator and double-buffered payload/output
+    # blocks at the minimum 128-lane chunk; a larger GF(256) code would
+    # fail the remote Mosaic compile at runtime instead of falling back.
+    m_pad_est = -(-m // 8) * 8
+    n_pad_est = -(-(n + 1) // 32) * 32
+    _mv_bytes = (
+        64 * m_pad_est * n_pad_est          # transposed plane-major image
+        + 8 * m_pad_est * 128 * 4           # int32 accumulator at wc=128
+        + 2 * (n_pad_est + m_pad_est) * 128  # payload + output, 2 buffers
+    )
+    _mv_fits = _mv_bytes <= 100 * 1024 * 1024
+    if jax.default_backend() != "cpu" and w % 128 == 0 and _mv_fits:
         # Fused VMEM kernels (ops/pallas_nbmm.py): SWAR unpack + MXU
         # contraction + byte repack, chained in the kernels' native
         # (B, rows, W) layout — the XLA formulation materialized the

@@ -41,6 +41,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Raised scoped-VMEM ceiling for every kernel in this module (the Mosaic
+# default is far smaller and OOMs the moment a constant operand is large:
+# gf_matvec_wide's (8, 8*m_pad, n_pad) image is ~67 MB at the NB-LDPC
+# m=510/n=2040 shape — "scoped allocation ... exceeded scoped vmem limit"
+# at compile time on the real chip; ops/ge.py additionally guards the
+# total footprint and falls back to XLA above ~100 MB).
+_VMEM_LIMIT = 110 * 1024 * 1024
+
+
+def _auto_wc(w: int, unit_bytes: int) -> int:
+    """Largest lane-aligned chunk of ``w`` that divides it and whose int32
+    accumulator (``unit_bytes`` per chunk column) fits a ~48 MB budget.
+
+    Shared by every kernel in this module. Raises the divisibility
+    ValueError instead of decrementing to zero (``w % 0``) when ``w`` has
+    no 128-aligned divisor under the budget — e.g. W not a multiple of
+    128 (ADVICE r4: the silent decrement loop crashed with a confusing
+    ZeroDivisionError for direct callers; production call sites in
+    ops/ge.py gate alignment before reaching here).
+    """
+    budget = 48 * 1024 * 1024
+    wc = min(w, max(128, (budget // unit_bytes) // 128 * 128))
+    while wc > 0 and w % wc:
+        wc -= 128
+    if wc <= 0:
+        raise ValueError(
+            f"W={w} has no 128-lane-aligned chunk that divides it within "
+            "the VMEM budget; pad the symbol width to a multiple of 128"
+        )
+    return wc
+
+
 def _kernel(y_ref, img_ref, out_ref, *, m_pad: int, interpret: bool):
     # y_ref: (1, n_pad, Wc) uint8 payload block in its NATURAL layout;
     # img_ref: (8, 8*m_pad, n_pad) int8 (plane c's transposed image);
@@ -132,10 +164,7 @@ def gf_matvec_wide(
             f"values rows {nv} must be n={n} or zero-padded to >= {n_pad}"
         )
     if wc <= 0:
-        budget = 48 * 1024 * 1024
-        wc = min(w, max(128, (budget // (8 * m_pad * 4)) // 128 * 128))
-        while w % wc:
-            wc -= 128
+        wc = _auto_wc(w, 8 * m_pad * 4)
     if w % wc:
         raise ValueError(f"wc={wc} must divide W={w}")
     # Transposed plane-major image: imgT[c, r*m_pad + i, j] = img[8j+c, 8i+r].
@@ -174,6 +203,9 @@ def gf_matvec_wide(
             (1, m_pad, wc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, m_pad, w), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(vp, img_t)
     if out_layout == "mw":
@@ -247,10 +279,7 @@ def gf_matmul_batched(
         )
     e8 = 8 * e_pad
     if wc <= 0:
-        budget = 48 * 1024 * 1024
-        wc = min(w, max(128, (budget // (e8 * 4)) // 128 * 128))
-        while w % wc:
-            wc -= 128
+        wc = _auto_wc(w, e8 * 4)
     if w % wc:
         raise ValueError(f"wc={wc} must divide W={w}")
 
@@ -275,6 +304,9 @@ def gf_matmul_batched(
             (1, e_pad, wc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, e_pad, w), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(rhs_mw, mats)
 
@@ -340,10 +372,7 @@ def f2_matvec_wide(
         # The in-kernel uint8->uint32 sublane bitcast merges rows 4s..4s+3.
         raise ValueError(f"values rows {n_pad} must be a multiple of 4")
     if wc <= 0:
-        budget = 48 * 1024 * 1024
-        wc = min(wb, max(128, (budget // (m_pad * 4)) // 128 * 128))
-        while wb % wc:
-            wc -= 128
+        wc = _auto_wc(wb, m_pad * 4)
     if wb % wc:
         raise ValueError(f"wc={wc} must divide Wb={wb}")
 
@@ -367,6 +396,9 @@ def f2_matvec_wide(
             (1, m_pad, wc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, m_pad, wb), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(values, ht)
 
@@ -398,10 +430,7 @@ def f2_matmul_batched(
             f"shapes incompatible: t_bits {t_bits.shape}, rhs {rhs_mw.shape}"
         )
     if wc <= 0:
-        budget = 48 * 1024 * 1024
-        wc = min(wb, max(128, (budget // (e_pad * 4)) // 128 * 128))
-        while wb % wc:
-            wc -= 128
+        wc = _auto_wc(wb, e_pad * 4)
     if wb % wc:
         raise ValueError(f"wc={wc} must divide Wb={wb}")
 
@@ -425,6 +454,9 @@ def f2_matmul_batched(
             (1, e_pad, wc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, e_pad, wb), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(rhs_mw, t_bits)
 
@@ -470,10 +502,7 @@ def f2_apply_scatter(
     if idx.dtype != jnp.int32:
         raise ValueError(f"idx must be int32, got {idx.dtype}")
     if wc <= 0:
-        budget = 48 * 1024 * 1024
-        wc = min(wb, max(128, (budget // (e_pad * 4)) // 128 * 128))
-        while wb % wc:
-            wc -= 128
+        wc = _auto_wc(wb, e_pad * 4)
     if wb % wc:
         raise ValueError(f"wc={wc} must divide Wb={wb}")
 
@@ -514,6 +543,9 @@ def f2_apply_scatter(
             (1, n_pad, wc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, wb), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(values_p, rhs_mw, t_bits, idx[:, None, :])
 
@@ -570,10 +602,7 @@ def gf_apply_scatter(
     if idx.dtype != jnp.int32:
         raise ValueError(f"idx must be int32, got {idx.dtype}")
     if wc <= 0:
-        budget = 48 * 1024 * 1024
-        wc = min(w, max(128, (budget // (8 * e_pad * 4)) // 128 * 128))
-        while w % wc:
-            wc -= 128
+        wc = _auto_wc(w, 8 * e_pad * 4)
     if w % wc:
         raise ValueError(f"wc={wc} must divide W={w}")
 
@@ -615,5 +644,8 @@ def gf_apply_scatter(
             (1, n_pad, wc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, w), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(values_p, rhs_mw, mats, idx[:, None, :])

@@ -184,3 +184,18 @@ def test_matvec_validates_chunk():
     img = jnp.zeros((128, 64), jnp.int8)
     with pytest.raises(ValueError):
         gf_matvec_wide(y, img, wc=64, interpret=True)
+
+
+def test_auto_wc_rejects_unalignable_width():
+    # ADVICE r4: the auto-chunk decrement loop must raise the divisibility
+    # error, not crash with ZeroDivisionError, when W has no 128-aligned
+    # divisor under the VMEM budget.
+    from ldpc_erasure_codes_tpu.ops.pallas_nbmm import _auto_wc
+
+    assert _auto_wc(256, 1024) == 256
+    assert _auto_wc(384, 64 * 1024 * 1024) == 128  # budget caps below W
+    assert _auto_wc(96, 1024) == 96  # below one lane tile: W itself
+    with pytest.raises(ValueError, match="128-lane-aligned"):
+        # W=192 with the budget capping the chunk at 128: no 128-aligned
+        # divisor exists — the old loop decremented to 0 and crashed.
+        _auto_wc(192, 64 * 1024 * 1024)
