@@ -156,11 +156,15 @@ def main() -> None:
     # the round-4 sweep; part of the warm-marker key since it changes the
     # compiled program).
     ublk = int(os.environ.get("BENCH_UNROLL_BLK", "32"))
+    # BENCH_FENCE_GATE=1: gate each fence on a sweep-start "any erasure in
+    # this fence's symbol union" predicate (round 5; bit-exact, measured
+    # A/B in VALIDATION.md). Changes the compiled program -> in the key.
+    fgate = os.environ.get("BENCH_FENCE_GATE", "0") == "1"
 
     def _key(sched: str) -> str:
         return (
             f"{code.name}-{impl}-{sched}-b{b}-w{w}-bt{bt}-ublk{ublk}"
-            f"-{jax.__version__}"
+            f"{'-fg' if fgate else ''}-{jax.__version__}"
         )
 
     schedule, note = choose_schedule(
@@ -203,6 +207,7 @@ def main() -> None:
                 arrays, cw, mask, max_iters=50, early_stop_k=code.k,
                 b_tile=bt, tiled=True, schedule=schedule,
                 static_topo=static_topo, unroll_blk=ublk,
+                fence_gate=fgate and schedule == "unrolled",
             )
         else:
             recv = ch.apply_erasures(cw, mask)

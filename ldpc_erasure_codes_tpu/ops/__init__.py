@@ -18,7 +18,10 @@ from ldpc_erasure_codes_tpu.ops.pallas_peel import (
     tile_wide,
     untile_wide,
 )
-from ldpc_erasure_codes_tpu.ops.hybrid import hybrid_decode
+from ldpc_erasure_codes_tpu.ops.hybrid import (
+    hybrid_decode,
+    hybrid_decode_escalated,
+)
 from ldpc_erasure_codes_tpu.ops.peel_wide import peel_decode_wide
 from ldpc_erasure_codes_tpu.ops.peel import (
     peel_decode,
@@ -43,6 +46,7 @@ __all__ = [
     "ge_rank_check",
     "ge_solve",
     "hybrid_decode",
+    "hybrid_decode_escalated",
     "make_packed_encoder",
     "peel_decode",
     "peel_decode_vmem",

@@ -110,7 +110,7 @@ def _decode(
                 schedule="unrolled" if static_topo is not None else "seq",
                 static_topo=static_topo,
             )
-            return v, e, iters, None
+            return v, e, iters, None, None
         # Scalar/2D symbols have no VMEM kernel: impl="vmem" maps to the
         # gather path explicitly here (peel_decode rejects unknown impls).
         v, e, iters = peel_decode(
@@ -122,9 +122,9 @@ def _decode(
             early_stop_k=early,
             impl="gather" if d.impl == "vmem" else d.impl,
         )
-        return v, e, iters, None
+        return v, e, iters, None, None
     if d.kind == "hybrid":
-        v, e, iters, failed = hybrid_decode(
+        v, e, iters, failed, overflow = hybrid_decode(
             arrays,
             values,
             erased,
@@ -136,12 +136,14 @@ def _decode(
             b_tile=bt if tiled else d.b_tile,
             tiled=tiled,
             static_topo=static_topo,
+            return_overflow=True,
         )
-        return v, e, iters, failed
+        return v, e, iters, failed, overflow
     v, e, failed = ge_solve(
         arrays, values, erased, emax=d.emax, gf_order=cfg.gf_order
     )
-    return v, e, jnp.zeros(erased.shape[0], jnp.int32), failed
+    ov = jnp.sum(erased, axis=1) > min(d.emax, erased.shape[1])
+    return v, e, jnp.zeros(erased.shape[0], jnp.int32), failed, ov
 
 
 def _decode_mask(arrays: CodeArrays, cfg: SimConfig, erased: jax.Array, k: int):
@@ -152,7 +154,7 @@ def _decode_mask(arrays: CodeArrays, cfg: SimConfig, erased: jax.Array, k: int):
         e, iters = peel_decode_mask(
             arrays, erased, max_iters=d.max_iters, early_stop_k=early
         )
-        return e, iters, None
+        return e, iters, None, None
     if d.kind == "hybrid":
         # Peel to convergence before the rank check: ML solvability is
         # invariant to how much peeling precedes the elimination (peeling is
@@ -180,9 +182,21 @@ def _decode_mask(arrays: CodeArrays, cfg: SimConfig, erased: jax.Array, k: int):
             lambda er: jnp.zeros(er.shape[0], bool),
             e,
         )
-        return e & failed[:, None], iters, failed
+        ov = jnp.sum(e, axis=1) > min(d.emax, e.shape[1])
+        if d.ge_subbatch > 0:
+            from ldpc_erasure_codes_tpu.ops.compact import residual_order
+
+            _, _, frame_ov = residual_order(e, d.ge_subbatch)
+            ov = ov | frame_ov
+        return e & failed[:, None], iters, failed, ov
     failed = ge_rank_check(arrays, erased, emax=d.emax, gf_order=cfg.gf_order)
-    return erased & failed[:, None], jnp.zeros(erased.shape[0], jnp.int32), failed
+    ov = jnp.sum(erased, axis=1) > min(d.emax, erased.shape[1])
+    return (
+        erased & failed[:, None],
+        jnp.zeros(erased.shape[0], jnp.int32),
+        failed,
+        ov,
+    )
 
 
 def make_sim_step(
@@ -247,7 +261,7 @@ def make_sim_step(
                 arrays, source, gf_order=cfg.gf_order, b_tile=tile_bt,
                 tiled_out=True, static_topo=enc_topo,
             )
-            _, e_out, iters, failed = _decode(
+            _, e_out, iters, failed, overflow = _decode(
                 arrays, cfg, cw, mask, k, tiled=True, bt=tile_bt,
                 static_topo=static_topo,
             )
@@ -255,14 +269,15 @@ def make_sim_step(
             source = _draw_source(k_src, cfg, k)
             cw = _encode(arrays, cfg, source)
             recv = ch.apply_erasures(cw, mask)
-            _, e_out, iters, failed = _decode(
+            _, e_out, iters, failed, overflow = _decode(
                 arrays, cfg, recv, mask, k, static_topo=static_topo
             )
         else:
-            e_out, iters, failed = _decode_mask(arrays, cfg, mask, k)
+            e_out, iters, failed, overflow = _decode_mask(arrays, cfg, mask, k)
         return batch_stats(
             mask, e_out, iters, failed, k, rs_n, rs_k, max_hist,
             count_all_symbols=cfg.decoder.count_all_symbols,
+            overflow=overflow,
         )
 
     if cfg.steps_per_call <= 1:

@@ -23,6 +23,10 @@ class SimStats(NamedTuple):
     rs_block_errors: jax.Array  # () int32 — failing RS windows (per window!)
     rs_blocks: jax.Array  # () int32 — RS windows scored (frames * n/rs_n)
     ml_failed: jax.Array  # () int32 — singular/overflow GE frames
+    escalations: jax.Array  # () int32 — frames needing bucket escalation
+    #   (residual > emax or spilled past the ge_subbatch frame bucket —
+    #   the frames hybrid_decode_escalated would re-dispatch; VERDICT r4
+    #   missing #2. Campaigns at production points assert this stays 0.)
     erased_symbols: jax.Array  # () int32 — channel erasures (measured PER)
     residual_erasures: jax.Array  # () int32 — erasures left after decode
     iters_hist: jax.Array  # (max_iters + 1,) int32 — iterations to finish
@@ -38,6 +42,7 @@ def batch_stats(
     rs_k: int,
     max_iters: int,
     count_all_symbols: bool = False,
+    overflow: jax.Array | None = None,
 ) -> SimStats:
     """Fold one decoded batch into counters.
 
@@ -71,12 +76,18 @@ def batch_stats(
     nfail = (
         jnp.sum(failed, dtype=jnp.int32) if failed is not None else jnp.int32(0)
     )
+    nesc = (
+        jnp.sum(overflow, dtype=jnp.int32)
+        if overflow is not None
+        else jnp.int32(0)
+    )
     return SimStats(
         frames=jnp.int32(b),
         block_errors=jnp.sum(blk, dtype=jnp.int32),
         rs_block_errors=rs_errs,
         rs_blocks=rs_blocks,
         ml_failed=nfail,
+        escalations=nesc,
         erased_symbols=jnp.sum(erased_in, dtype=jnp.int32),
         residual_erasures=jnp.sum(erased_out, dtype=jnp.int32),
         iters_hist=hist,
@@ -92,6 +103,7 @@ class Accumulator:
     rs_block_errors: int = 0
     rs_blocks: int = 0
     ml_failed: int = 0
+    escalations: int = 0
     erased_symbols: int = 0
     residual_erasures: int = 0
     iters_hist: list[int] = dataclasses.field(default_factory=list)
@@ -102,6 +114,7 @@ class Accumulator:
         self.rs_block_errors += int(s.rs_block_errors)
         self.rs_blocks += int(s.rs_blocks)
         self.ml_failed += int(s.ml_failed)
+        self.escalations += int(s.escalations)
         self.erased_symbols += int(s.erased_symbols)
         self.residual_erasures += int(s.residual_erasures)
         h = [int(x) for x in s.iters_hist]

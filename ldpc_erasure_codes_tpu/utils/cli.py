@@ -452,6 +452,42 @@ def cmd_golden(args) -> int:
     return 0 if passed else 1
 
 
+def cmd_verify(args) -> int:
+    """On-chip PASSED/FAILED verification battery (utils/verify.py): every
+    production decode tier end-to-end, decoded values/masks bit-exact
+    against the encoded input — the reference's verify_output() contract
+    (OpenCL/host/src/main.cpp:298-305,413-425)."""
+    import json
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ldpc_erasure_codes_tpu.utils.verify import run_battery
+
+    interpret = jax.default_backend() == "cpu"
+    results = run_battery(
+        interpret=interpret, quick=args.quick, fence_gate=args.fence_gate
+    )
+    for r in results:
+        print(json.dumps(r), flush=True)
+    ok = all(r["status"] == "PASSED" for r in results)
+    print(f"VERIFY: {'ALL PASSED' if ok else 'FAILURES'}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(
+                {
+                    "backend": jax.default_backend(),
+                    "all_passed": ok,
+                    "tiers": results,
+                },
+                f,
+                indent=1,
+            )
+    return 0 if ok else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     # Persistent compile cache: repeated CLI invocations (sim sweeps,
     # throughput A/Bs) reuse Mosaic/XLA executables across processes
@@ -576,6 +612,15 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--max-tries", type=int, default=200)
     pg.add_argument("--out", default="")
     pg.set_defaults(fn=cmd_gen)
+
+    pvf = sub.add_parser(
+        "verify", help="on-chip PASSED/FAILED decode verification battery"
+    )
+    pvf.add_argument("--quick", action="store_true")
+    pvf.add_argument("--cpu", action="store_true")
+    pvf.add_argument("--fence-gate", action="store_true")
+    pvf.add_argument("--out", default=None)
+    pvf.set_defaults(fn=cmd_verify)
 
     pv = sub.add_parser("golden", help="golden-vector generate + verify")
     pv.add_argument("--code", default="n2000_k1000")

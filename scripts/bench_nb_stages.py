@@ -58,8 +58,12 @@ def main() -> None:
     unroll = "--dynamic" not in sys.argv
     enc_topo = static_enc_topology(arrays, code.k) if unroll else None
     peel_topo = static_topology(arrays) if unroll else None
+    fgate = os.environ.get("NB_FENCE_GATE", "0") == "1"
     peel_kw = (
-        dict(schedule="unrolled", static_topo=peel_topo, unroll_blk=ublk)
+        dict(
+            schedule="unrolled", static_topo=peel_topo, unroll_blk=ublk,
+            fence_gate=fgate,
+        )
         if unroll
         else {}
     )
@@ -131,7 +135,7 @@ def main() -> None:
         v, e, iters, failed = hybrid_decode(
             arrays, cw, mask, gf_order=256, peel_iters=10, emax=128,
             impl="vmem", ge_subbatch=64, b_tile=bt, tiled=True,
-            static_topo=peel_topo,
+            static_topo=peel_topo, fence_gate=fgate and unroll,
         )
         return digest32(v), jnp.sum(failed)
 
@@ -152,7 +156,7 @@ def main() -> None:
         v, e, iters, failed = hybrid_decode(
             arrays, cw, mask, gf_order=256, peel_iters=10, emax=128,
             impl="vmem", ge_subbatch=64, b_tile=bt, tiled=True,
-            static_topo=peel_topo,
+            static_topo=peel_topo, fence_gate=fgate and unroll,
         )
         return digest32(v), jnp.sum(failed)
 

@@ -196,6 +196,61 @@ def test_unrolled_check_orders_same_fixed_point():
         static_topology(arrays, order="bogus")
 
 
+def test_fence_gate_bit_exact():
+    """fence_gate=True (round 5: sweep-start fence-union gating) must be
+    bit-identical to the ungated unrolled program — values, masks, AND
+    iteration counts — for binary and GF(256), flat and tiled, at a fence
+    size that yields several fences per sweep."""
+    from ldpc_erasure_codes_tpu.codes import toy_code
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import static_topology
+
+    code = gen_row_wise([(16, 6)], [(48, 2)], seed=3, max_tries=40,
+                        strict_tries=4)
+    arrays, cw, recv, mask = _make_case(code, 8, 2, 0.25, seed=0)
+    topo = static_topology(arrays)
+    for kw in (dict(), dict(early_stop_k=code.k)):
+        o1 = peel_decode_vmem(
+            arrays, recv, mask, max_iters=50, b_tile=4, schedule="unrolled",
+            static_topo=topo, interpret=True, unroll_blk=4, **kw,
+        )
+        o2 = peel_decode_vmem(
+            arrays, recv, mask, max_iters=50, b_tile=4, schedule="unrolled",
+            static_topo=topo, interpret=True, unroll_blk=4,
+            fence_gate=True, **kw,
+        )
+        for x, y, nm in zip(o1, o2, ("values", "mask", "iters")):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), err_msg=f"{kw} {nm}"
+            )
+    # GF(256).
+    nb = toy_code(n=96, k=64, seed=3, gf_order=256)
+    arr_nb = device_arrays(nb)
+    key = jax.random.key(12)
+    b, w = 4, 8
+    src = jax.random.randint(key, (b, nb.k, w), 0, 256, dtype=jnp.uint8)
+    cwn = encode_packed(arr_nb, src, gf_order=256)
+    mk = jax.random.uniform(jax.random.fold_in(key, 1), (b, nb.n)) < 0.12
+    rcv = jnp.where(mk[:, :, None], jnp.uint8(0), cwn)
+    tn = static_topology(arr_nb)
+    o1 = peel_decode_vmem(
+        arr_nb, rcv, mk, max_iters=50, b_tile=2, gf_order=256,
+        schedule="unrolled", static_topo=tn, interpret=True, unroll_blk=4,
+    )
+    o2 = peel_decode_vmem(
+        arr_nb, rcv, mk, max_iters=50, b_tile=2, gf_order=256,
+        schedule="unrolled", static_topo=tn, interpret=True, unroll_blk=4,
+        fence_gate=True,
+    )
+    for x, y, nm in zip(o1, o2, ("values", "mask", "iters")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=nm)
+    # fence_gate without the unrolled schedule must fail loudly.
+    with pytest.raises(ValueError):
+        peel_decode_vmem(
+            arrays, recv, mask, b_tile=4, schedule="seq", fence_gate=True,
+            interpret=True,
+        )
+
+
 def test_unrolled_nb_equals_seq():
     """GF(256) unrolled schedule (compile-time Horner bits) == seq."""
     from ldpc_erasure_codes_tpu.codes import toy_code
