@@ -160,11 +160,21 @@ def main() -> None:
     # this fence's symbol union" predicate (round 5; bit-exact, measured
     # A/B in VALIDATION.md). Changes the compiled program -> in the key.
     fgate = os.environ.get("BENCH_FENCE_GATE", "0") == "1"
+    # BENCH_WCHUNK: decode in wc-word chunks (0 = kernel auto). wc=128 at
+    # W=256 halves the VMEM tile so the output window double-buffers
+    # (copy-out overlaps the next tile's sweeps) at the cost of running
+    # the mask sweep once per chunk — the round-5 copy-overlap experiment.
+    wchunk = int(os.environ.get("BENCH_WCHUNK", "0"))
+    # BENCH_DIGEST=full restores the 4.3 GB full-batch reduce (the r2-r4
+    # protocol) for A/B against the default slice consumption.
+    digest_mode = os.environ.get("BENCH_DIGEST", "slice")
 
     def _key(sched: str) -> str:
         return (
             f"{code.name}-{impl}-{sched}-b{b}-w{w}-bt{bt}-ublk{ublk}"
-            f"{'-fg' if fgate else ''}-{jax.__version__}"
+            f"{'-fg' if fgate else ''}{f'-wc{wchunk}' if wchunk else ''}"
+            f"{'' if digest_mode == 'slice' else '-dfull'}"
+            f"-{jax.__version__}"
         )
 
     schedule, note = choose_schedule(
@@ -208,6 +218,7 @@ def main() -> None:
                 b_tile=bt, tiled=True, schedule=schedule,
                 static_topo=static_topo, unroll_blk=ublk,
                 fence_gate=fgate and schedule == "unrolled",
+                w_chunk=wchunk,
             )
         else:
             recv = ch.apply_erasures(cw, mask)
@@ -216,11 +227,24 @@ def main() -> None:
             )
         # Consume the decoded VALUES (not just the mask): the mask evolution
         # is value-independent, so returning only residual counts lets XLA
-        # dead-code-eliminate the entire wide-symbol decode. (XOR digest is
-        # layout-invariant — same value set either way.)
-        digest = jnp.bitwise_xor.reduce(
-            jnp.bitwise_xor.reduce(values, axis=1), axis=0
-        )
+        # dead-code-eliminate the entire wide-symbol decode on the XLA
+        # paths. For the Pallas path a full-batch digest is overkill — the
+        # kernel is an opaque custom call whose value work cannot be
+        # partially eliminated, so consuming a slice that touches every
+        # tile forces the whole decode while reading ~2 MB instead of the
+        # 4.3 GB full reduce (round 5: the full digest was ~5 ms/step of
+        # measurement overhead the FPGA's timed region does not contain —
+        # main.cpp:652-658 times kernel execution only, verification is
+        # outside; correctness is certified separately by VERIFY_r05). The
+        # XLA path keeps the full digest (values live in XLA-visible HLO).
+        if impl == "pallas" and digest_mode == "slice":
+            digest = jnp.bitwise_xor.reduce(
+                jnp.bitwise_xor.reduce(values[:, : 2 * bt], axis=1), axis=0
+            )
+        else:
+            digest = jnp.bitwise_xor.reduce(
+                jnp.bitwise_xor.reduce(values, axis=1), axis=0
+            )
         return (
             jnp.sum(erased[:, : code.k], dtype=jnp.int32),
             jnp.max(iters),

@@ -308,7 +308,7 @@ def ge_solve_packed(
             nreal[None, :].astype(jnp.int32), ((0, 0), (0, b_pad - b))
         )
         r_o, piv_o, fail_o = f2_eliminate(
-            r_k, nreal_k, emax=emax, b_tile=bt_e
+            r_k, nreal_k, emax=emax, b_tile=bt_e, a_words=wa
         )
         # Kernel layout is (C, m_pad, B) -> back to (B, m, C).
         r = jnp.transpose(r_o[:, :m, :b], (2, 1, 0))
@@ -605,7 +605,7 @@ def ge_solve_wide_nb(
         )
         r_o, piv_o, fail_o = gf256_eliminate(
             r_k, nreal_k, emax=emax, b_tile=bt_e,
-            prim_poly=DEFAULT_PRIM_POLY,
+            prim_poly=DEFAULT_PRIM_POLY, a_words=wa,
         )
         r = jnp.transpose(r_o[:, :m, :b], (2, 1, 0))  # (B, m, C)
         pivrow = jnp.transpose(piv_o[:, :b], (1, 0))

@@ -69,7 +69,8 @@ def _gf_inv_lane(x, poly_lo: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("emax", "b_tile", "prim_poly", "interpret")
+    jax.jit,
+    static_argnames=("emax", "b_tile", "prim_poly", "interpret", "a_words"),
 )
 def gf256_eliminate(
     r: jax.Array,
@@ -79,6 +80,7 @@ def gf256_eliminate(
     b_tile: int = 128,
     prim_poly: int = 0x171,
     interpret: bool = False,
+    a_words: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """GF(256) swap-free [A | T] elimination of a packed byte cube, in VMEM.
 
@@ -97,6 +99,10 @@ def gf256_eliminate(
       emax: byte columns to eliminate.
       b_tile: frames per grid program (B % b_tile == 0; % 128 on hw).
       prim_poly: GF(256) primitive polynomial (low byte drives xtime).
+      a_words: leading words of each row holding the A block — enables
+        the same two exact work cuts as :func:`f2_eliminate` (dynamic
+        ``max(nreal)`` loop bound + completed-A-word skipping; failed
+        lanes' cube words may differ, within the solver contract).
 
     Returns:
       (r_out, pivrow, failed) — as :func:`f2_eliminate`; r_out's pivot
@@ -109,8 +115,9 @@ def gf256_eliminate(
     if nreal.shape != (1, b):
         raise ValueError(f"nreal shape {nreal.shape} != (1, {b})")
     poly_lo = prim_poly & 0xFF
+    ncols = jnp.minimum(jnp.max(nreal), emax).reshape(1, 1).astype(jnp.int32)
 
-    def kern(r_ref, nreal_ref, out_ref, piv_ref, fail_ref):
+    def kern(r_ref, nreal_ref, ncols_ref, out_ref, piv_ref, fail_ref):
         out_ref[...] = r_ref[...]
         m_iota = jax.lax.broadcasted_iota(
             jnp.int32, (m_pad, b_tile), 0
@@ -143,37 +150,49 @@ def gf256_eliminate(
             elim_rows = (colv != 0) & ~is_piv & has  # (m_pad, b_tile)
             zero = jnp.zeros((m_pad, b_tile), jnp.int32)
             for cw in range(c_words):
-                rc = out_ref[cw]  # (m_pad, b_tile)
-                rc_i = jax.lax.bitcast_convert_type(rc, jnp.int32)
-                prow = jax.lax.bitcast_convert_type(
-                    jnp.sum(
-                        jnp.where(is_piv, rc_i, zero),
-                        axis=0,
-                        keepdims=True,
-                    ),
-                    jnp.uint32,
-                )  # (1, b_tile) — the pivot row's word
-                # Normalize by the pivot inverse (packed double-and-add).
-                norm = jnp.zeros_like(prow)
-                a = prow
-                for i in range(8):
-                    take = ((pinv >> i) & 1) == 1
-                    norm = norm ^ jnp.where(take, a, jnp.uint32(0))
-                    a = _xtime_packed32(a, poly_lo)
-                # Write the normalized row back, then eliminate the rest
-                # as double-and-add over each row's factor byte (colv).
-                rc = jnp.where(
-                    is_piv & has,
-                    jnp.broadcast_to(norm, rc.shape),
-                    rc,
-                )
-                acc = jnp.zeros_like(rc)
-                nw = jnp.broadcast_to(norm, rc.shape)
-                for i in range(8):
-                    take = (((colv >> i) & 1) == 1) & elim_rows
-                    acc = acc ^ jnp.where(take, nw, jnp.uint32(0))
-                    nw = _xtime_packed32(nw, poly_lo)
-                out_ref[cw] = rc ^ acc
+
+                def word_update(cw=cw):
+                    rc = out_ref[cw]  # (m_pad, b_tile)
+                    rc_i = jax.lax.bitcast_convert_type(rc, jnp.int32)
+                    prow = jax.lax.bitcast_convert_type(
+                        jnp.sum(
+                            jnp.where(is_piv, rc_i, zero),
+                            axis=0,
+                            keepdims=True,
+                        ),
+                        jnp.uint32,
+                    )  # (1, b_tile) — the pivot row's word
+                    # Normalize by the pivot inverse (double-and-add).
+                    norm = jnp.zeros_like(prow)
+                    a = prow
+                    for i in range(8):
+                        take = ((pinv >> i) & 1) == 1
+                        norm = norm ^ jnp.where(take, a, jnp.uint32(0))
+                        a = _xtime_packed32(a, poly_lo)
+                    # Write the normalized row back, then eliminate the
+                    # rest as double-and-add over each row's factor byte
+                    # (colv).
+                    rc = jnp.where(
+                        is_piv & has,
+                        jnp.broadcast_to(norm, rc.shape),
+                        rc,
+                    )
+                    acc = jnp.zeros_like(rc)
+                    nw = jnp.broadcast_to(norm, rc.shape)
+                    for i in range(8):
+                        take = (((colv >> i) & 1) == 1) & elim_rows
+                        acc = acc ^ jnp.where(take, nw, jnp.uint32(0))
+                        nw = _xtime_packed32(nw, poly_lo)
+                    out_ref[cw] = rc ^ acc
+
+                if a_words and cw < a_words:
+                    # Completed A words: pivot row zero there, update a
+                    # no-op (see f2_eliminate docstring).
+                    @pl.when(cw >= (col >> 2))
+                    def _():
+                        word_update()
+                else:
+                    word_update()
             failed = failed | (
                 (~has).astype(jnp.int32) * (col < nr).astype(jnp.int32)
             )
@@ -182,8 +201,9 @@ def gf256_eliminate(
         used0 = jnp.zeros((m_pad, b_tile), jnp.int32)
         piv0 = jnp.zeros((emax, b_tile), jnp.int32)
         fail0 = jnp.zeros((1, b_tile), jnp.int32)
+        ub = ncols_ref[0, 0] if a_words else emax
         _, pivacc, failed = jax.lax.fori_loop(
-            0, emax, step, (used0, piv0, fail0)
+            0, ub, step, (used0, piv0, fail0)
         )
         piv_ref[...] = pivacc
         fail_ref[...] = failed
@@ -200,6 +220,7 @@ def gf256_eliminate(
             pl.BlockSpec(
                 (1, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -222,11 +243,11 @@ def gf256_eliminate(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(r, nreal)
+    )(r, nreal, ncols)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("emax", "b_tile", "interpret")
+    jax.jit, static_argnames=("emax", "b_tile", "interpret", "a_words")
 )
 def f2_eliminate(
     r: jax.Array,
@@ -235,6 +256,7 @@ def f2_eliminate(
     emax: int,
     b_tile: int = 128,
     interpret: bool = False,
+    a_words: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """GF(2) swap-free elimination of a packed bit cube, in VMEM.
 
@@ -247,6 +269,22 @@ def f2_eliminate(
       emax: pivot columns to eliminate (bit columns 0..emax-1 of A).
       b_tile: frames per grid program (lane tile; B % b_tile == 0, and
         b_tile % 128 == 0 on hardware).
+      a_words: number of leading words of each row holding the A block
+        (round 5). When > 0, two exact work cuts apply:
+
+        * the pivot loop runs only to ``max(nreal)`` over the whole
+          batch — columns past every lane's residual are provable no-ops
+          (pad columns are all-zero and contribute no pivot, update, or
+          failure) — so the ``emax`` bucket stops costing anything when
+          residuals are small;
+        * COMPLETED A words are skipped: after the Jordan step on column
+          c, every non-pivot row holds 0 in column c, so a later pivot
+          row's words below ``col >> 5`` are zero and their update is a
+          no-op. (Exception: a FAILED lane's un-pivoted column can leave
+          nonzero entries behind, so failed lanes' cube words may differ
+          from the unskipped computation — within the solver contract,
+          which declares failed frames' solved values garbage; pivot
+          rows and failure flags are unaffected.)
 
     Returns:
       (r_out, pivrow, failed): the eliminated cube (same layout), the
@@ -258,8 +296,11 @@ def f2_eliminate(
         raise ValueError(f"B={b} must be a multiple of b_tile={b_tile}")
     if nreal.shape != (1, b):
         raise ValueError(f"nreal shape {nreal.shape} != (1, {b})")
+    # Scalar loop bound, computed XLA-side and passed through SMEM: the
+    # batch's widest residual (clamped to the bucket).
+    ncols = jnp.minimum(jnp.max(nreal), emax).reshape(1, 1).astype(jnp.int32)
 
-    def kern(r_ref, nreal_ref, out_ref, piv_ref, fail_ref):
+    def kern(r_ref, nreal_ref, ncols_ref, out_ref, piv_ref, fail_ref):
         out_ref[...] = r_ref[...]
         m_iota = jax.lax.broadcasted_iota(
             jnp.int32, (m_pad, b_tile), 0
@@ -285,23 +326,38 @@ def f2_eliminate(
             elim = (colv == 1) & ~is_piv & has  # (m_pad, b_tile) bool
             zero = jnp.zeros((m_pad, b_tile), jnp.int32)
             for cw in range(c_words):
-                rc = out_ref[cw]  # (m_pad, b_tile)
-                # One-hot row select as a masked int32 sum (Mosaic has no
-                # unsigned reductions, and full-range 32-bit vector
-                # multiplies are avoided in favor of selects; exactly
-                # <= 1 term is nonzero, so the bit pattern is exact).
-                rc_i = jax.lax.bitcast_convert_type(rc, jnp.int32)
-                prow = jax.lax.bitcast_convert_type(
-                    jnp.sum(
-                        jnp.where(is_piv, rc_i, zero),
-                        axis=0,
-                        keepdims=True,
-                    ),
-                    jnp.uint32,
-                )
-                out_ref[cw] = rc ^ jnp.where(
-                    elim, jnp.broadcast_to(prow, rc.shape), jnp.uint32(0)
-                )
+
+                def word_update(cw=cw):
+                    rc = out_ref[cw]  # (m_pad, b_tile)
+                    # One-hot row select as a masked int32 sum (Mosaic
+                    # has no unsigned reductions, and full-range 32-bit
+                    # vector multiplies are avoided in favor of selects;
+                    # exactly <= 1 term is nonzero, so the bit pattern
+                    # is exact).
+                    rc_i = jax.lax.bitcast_convert_type(rc, jnp.int32)
+                    prow = jax.lax.bitcast_convert_type(
+                        jnp.sum(
+                            jnp.where(is_piv, rc_i, zero),
+                            axis=0,
+                            keepdims=True,
+                        ),
+                        jnp.uint32,
+                    )
+                    out_ref[cw] = rc ^ jnp.where(
+                        elim,
+                        jnp.broadcast_to(prow, rc.shape),
+                        jnp.uint32(0),
+                    )
+
+                if a_words and cw < a_words:
+                    # Completed A words: the pivot row is zero there (see
+                    # docstring), the update a no-op — skip the two
+                    # full-cube passes with one scalar branch.
+                    @pl.when(cw >= (col >> 5))
+                    def _():
+                        word_update()
+                else:
+                    word_update()
             failed = failed | (
                 (~has).astype(jnp.int32) * (col < nr).astype(jnp.int32)
             )
@@ -310,8 +366,9 @@ def f2_eliminate(
         used0 = jnp.zeros((m_pad, b_tile), jnp.int32)
         piv0 = jnp.zeros((emax, b_tile), jnp.int32)
         fail0 = jnp.zeros((1, b_tile), jnp.int32)
+        ub = ncols_ref[0, 0] if a_words else emax
         _, pivacc, failed = jax.lax.fori_loop(
-            0, emax, step, (used0, piv0, fail0)
+            0, ub, step, (used0, piv0, fail0)
         )
         piv_ref[...] = pivacc
         fail_ref[...] = failed
@@ -328,6 +385,7 @@ def f2_eliminate(
             pl.BlockSpec(
                 (1, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -350,5 +408,5 @@ def f2_eliminate(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(r, nreal)
+    )(r, nreal, ncols)
     return r_out, pivrow, failed

@@ -127,3 +127,73 @@ def test_validates_shapes():
             b_tile=64,
             interpret=True,
         )
+
+
+def _zero_pad_cols_f2(r, nreal, emax, a_words):
+    """Zero A bits >= nreal per lane (the solver's pad-column invariant)."""
+    r = r.copy()
+    c, m, b = r.shape
+    for f in range(b):
+        for col in range(int(nreal[f]), emax):
+            r[col >> 5, :, f] &= ~np.uint32(1 << (col & 31))
+    return r
+
+
+def test_f2_a_words_cuts_are_exact():
+    """a_words (round 5: dynamic max(nreal) loop bound + completed-A-word
+    skipping) must not change pivot rows, failure flags, or any non-failed
+    lane's cube (failed lanes' cube is contractually garbage)."""
+    rng = np.random.default_rng(4)
+    c, m, b, emax = 6, 24, 256, 64  # wa = 2 words of A, wt = 4 of T
+    wa = emax // 32
+    r = rng.integers(0, 1 << 32, (c, m, b), dtype=np.uint32)
+    r &= rng.integers(0, 1 << 32, (c, m, b), dtype=np.uint32)
+    r[:, 20:, :] = 0
+    nreal = rng.integers(0, emax + 1, b).astype(np.int32)
+    nreal[:4] = [0, 3, 40, 64]
+    r[:wa] = _zero_pad_cols_f2(r[:wa], nreal, emax, wa)[:wa]
+    base = f2_eliminate(
+        jnp.asarray(r), jnp.asarray(nreal[None]), emax=emax, b_tile=128,
+        interpret=True,
+    )
+    fast = f2_eliminate(
+        jnp.asarray(r), jnp.asarray(nreal[None]), emax=emax, b_tile=128,
+        interpret=True, a_words=wa,
+    )
+    np.testing.assert_array_equal(np.asarray(fast[1]), np.asarray(base[1]))
+    np.testing.assert_array_equal(np.asarray(fast[2]), np.asarray(base[2]))
+    ok = np.asarray(base[2])[0] == 0
+    np.testing.assert_array_equal(
+        np.asarray(fast[0])[:, :, ok], np.asarray(base[0])[:, :, ok]
+    )
+
+
+def test_nb_a_words_cuts_are_exact():
+    from ldpc_erasure_codes_tpu.ops.pallas_elim import gf256_eliminate
+
+    rng = np.random.default_rng(5)
+    c, m, b, emax = 6, 16, 128, 20  # wa = 5 byte-words of A, wt = 1 of T
+    wa = -(-emax // 4)
+    r = rng.integers(0, 1 << 32, (c, m, b), dtype=np.uint32)
+    r &= rng.integers(0, 1 << 32, (c, m, b), dtype=np.uint32)
+    r[:, 14:, :] = 0
+    nreal = rng.integers(0, emax + 1, b).astype(np.int32)
+    nreal[:3] = [0, 7, 20]
+    # Zero A BYTES >= nreal per lane (pad-column invariant).
+    for f in range(b):
+        for col in range(int(nreal[f]), emax):
+            r[col >> 2, :, f] &= ~np.uint32(0xFF << (8 * (col & 3)))
+    base = gf256_eliminate(
+        jnp.asarray(r), jnp.asarray(nreal[None]), emax=emax, b_tile=128,
+        interpret=True,
+    )
+    fast = gf256_eliminate(
+        jnp.asarray(r), jnp.asarray(nreal[None]), emax=emax, b_tile=128,
+        interpret=True, a_words=wa,
+    )
+    np.testing.assert_array_equal(np.asarray(fast[1]), np.asarray(base[1]))
+    np.testing.assert_array_equal(np.asarray(fast[2]), np.asarray(base[2]))
+    ok = np.asarray(base[2])[0] == 0
+    np.testing.assert_array_equal(
+        np.asarray(fast[0])[:, :, ok], np.asarray(base[0])[:, :, ok]
+    )
