@@ -156,10 +156,12 @@ def main() -> None:
     # the round-4 sweep; part of the warm-marker key since it changes the
     # compiled program).
     ublk = int(os.environ.get("BENCH_UNROLL_BLK", "32"))
-    # BENCH_FENCE_GATE=1: gate each fence on a sweep-start "any erasure in
-    # this fence's symbol union" predicate (round 5; bit-exact, measured
-    # A/B in VALIDATION.md). Changes the compiled program -> in the key.
-    fgate = os.environ.get("BENCH_FENCE_GATE", "0") == "1"
+    # BENCH_FENCE_GATE: gate each fence on a sweep-start "any erasure in
+    # this fence's symbol union" predicate (round 5; bit-exact — values,
+    # masks, iteration counts). Default ON: positive in every interleaved
+    # A/B at the headline point (636.4 vs 616.7/621.1 with the slice
+    # digest; +0.8-2.2% under the old full-digest protocol). =0 disables.
+    fgate = os.environ.get("BENCH_FENCE_GATE", "1") == "1"
     # BENCH_WCHUNK: decode in wc-word chunks (0 = kernel auto). wc=128 at
     # W=256 halves the VMEM tile so the output window double-buffers
     # (copy-out overlaps the next tile's sweeps) at the cost of running
