@@ -171,12 +171,19 @@ def hybrid_decode(
             # target the pad block (row n), which stays zero because
             # non-writable rows of x are zeroed.
             sel, is_resid, overflow = residual_order(e, ge_subbatch)
-            vf_sub = untile_wide(v, b, n)[sel]
+            t_idx = sel // bt
+            off = sel % bt
+            # Gather the residual frames STRAIGHT from the tile-major
+            # tensor: frame f's symbol s lives at [f // bt, s*bt + f % bt]
+            # (round 5 — `untile_wide(v, b, n)[sel]` materialized the full
+            # 2.14 GB untiled batch before gathering the sub-batch,
+            # measured 27.9 ms of the 125 ms GE branch at the .2031
+            # shape; the direct gather touches only the selected rows).
+            sym = jnp.arange(n, dtype=jnp.int32)
+            vf_sub = v[t_idx[:, None], sym[None, :] * bt + off[:, None]]
             x, sidx, e_sub, failed_sub = ge_solve_packed(
                 arrays, vf_sub, e[sel], emax=emax, return_rows=True
             )
-            t_idx = sel // bt
-            off = sel % bt
             rows = sidx * bt + off[:, None]
             v = v.at[t_idx[:, None], rows].set(x)
             e = e.at[sel].set(jnp.where(is_resid[:, None], e_sub, e[sel]))

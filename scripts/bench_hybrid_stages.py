@@ -105,9 +105,7 @@ def main() -> None:
         arrays, cw, mask, max_iters=10, b_tile=bt, tiled=True,
         schedule="unrolled", static_topo=topo,
     )
-    resid = np.asarray(jnp.sum(
-        e_peel.swapaxes(1, 2).reshape(-1, code.n + 1)[:b, : code.n], axis=1
-    ))
+    resid = np.asarray(jnp.sum(e_peel, axis=1))  # erased is (B, n) bool
     resid = np.sort(resid[resid > 0])[::-1][:f_max]
     nreal_np = np.zeros(512, np.int32)
     nreal_np[: resid.size] = np.minimum(resid, emax)
