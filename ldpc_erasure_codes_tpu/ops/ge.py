@@ -156,7 +156,9 @@ def _bits_to_words(bits: jax.Array) -> jax.Array:
     return jnp.sum(b * weights, axis=-1, dtype=jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("emax", "return_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("emax", "return_rows", "static_topo")
+)
 def ge_solve_packed(
     arrays: CodeArrays,
     values: jax.Array,
@@ -164,6 +166,7 @@ def ge_solve_packed(
     *,
     emax: int,
     return_rows: bool = False,
+    static_topo: tuple | None = None,
 ) -> tuple[jax.Array, ...]:
     """Binary wide-symbol GE with packed-bit elimination + one MXU apply.
 
@@ -348,16 +351,37 @@ def ge_solve_packed(
         # kernels' in-VMEM uint8->uint32 sublane bitcast needs the row
         # count divisible by 4.
         n_pad = -(-(n + 1) // 32) * 32
+        # Constant-topology tiled syndrome (round 5): the dense-K MXU
+        # syndrome contracts K=n_pad against a matrix with only E
+        # nonzeros (~27 ms at 36% MXU utilization at the .2031 GE shape);
+        # with the host topology available, the peel-style unrolled
+        # slice-XOR kernel computes the same rhs in ~1/4 the time
+        # (ops/pallas_synd.py; bit-identical, tested).
+        _bt_s = 32
+        _synd_fits = (
+            static_topo is not None
+            and b % _bt_s == 0
+            and ((n + 1) + m_pad) * _bt_s * w * 4 <= 100 * 1024 * 1024
+        )
+        if _synd_fits:
+            from ldpc_erasure_codes_tpu.ops.pallas_synd import (
+                syndrome_from_topo,
+            )
+
+            rhs_mw = syndrome_from_topo(
+                values, topo=static_topo, m_pad=m_pad, bt=_bt_s
+            )
         values_p = jnp.pad(values, ((0, 0), (0, n_pad - n), (0, 0)))
         # In-jit byte view of the wide words (free; a materialized uint8
         # HBM array would pay a physical retile).
         vb = jax.lax.bitcast_convert_type(values_p, jnp.uint8).reshape(
             b, n_pad, 4 * w
         )
-        ht = jnp.pad(
-            arrays.h.astype(jnp.int8), ((0, m_pad - m), (0, n_pad - n))
-        )
-        rhs_mw = f2_matvec_wide(vb, ht)
+        if not _synd_fits:
+            ht = jnp.pad(
+                arrays.h.astype(jnp.int8), ((0, m_pad - m), (0, n_pad - n))
+            )
+            rhs_mw = f2_matvec_wide(vb, ht)
         tb = jnp.pad(
             t_bits, ((0, 0), (0, e_pad - emax), (0, m_pad - m))
         )

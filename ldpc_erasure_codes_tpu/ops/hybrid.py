@@ -182,7 +182,8 @@ def hybrid_decode(
             sym = jnp.arange(n, dtype=jnp.int32)
             vf_sub = v[t_idx[:, None], sym[None, :] * bt + off[:, None]]
             x, sidx, e_sub, failed_sub = ge_solve_packed(
-                arrays, vf_sub, e[sel], emax=emax, return_rows=True
+                arrays, vf_sub, e[sel], emax=emax, return_rows=True,
+                static_topo=static_topo,
             )
             rows = sidx * bt + off[:, None]
             v = v.at[t_idx[:, None], rows].set(x)

@@ -77,9 +77,10 @@ def test_dcn_payload_is_counters_only():
         )
         payloads[batch] = _collective_bytes(jaxpr.jaxpr)
 
-    # The stats pytree is 7 int32 scalars + the (max_iters + 1,) iteration
-    # histogram; nothing else may cross the interconnect.
-    bound = (7 + max_iters + 1) * 4
+    # The stats pytree is 8 int32 scalars (round 5 added the escalations
+    # counter) + the (max_iters + 1,) iteration histogram; nothing else may
+    # cross the interconnect.
+    bound = (8 + max_iters + 1) * 4
     assert payloads[256] == payloads[1024], (
         f"collective payload scales with batch: {payloads}"
     )
