@@ -23,6 +23,7 @@ this is the JIT-world equivalent.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import jax
@@ -33,15 +34,50 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
+def _host_tag() -> str:
+    """Short digest of the HOST CPU identity (model + feature flags).
+
+    XLA:CPU AOT executables are compiled for the build machine's exact
+    feature set, and JAX's persistent-cache key does NOT include it:
+    loading a cache entry produced on a machine with different CPU flags
+    first warns ("Compile machine features ... vs host machine features
+    ... could lead to execution errors such as SIGILL") and then, round 5
+    measured, SEGFAULTS inside compilation_cache.get_executable_and_time
+    mid-test-suite (the repo-local cache travels between round machines
+    with the checkout). Scoping the cache directory per host identity
+    makes stale-machine entries invisible instead of fatal; TPU entries
+    recompile once per new machine, which the bench's budget fallback
+    already handles.
+    """
+    ident = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    ident += line
+                    if "flags" in line:
+                        break
+    except OSError:  # pragma: no cover - non-Linux
+        import platform
+
+        ident = platform.processor() + platform.machine()
+    return hashlib.sha256(ident.encode()).hexdigest()[:12]
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     """Point JAX's persistent compilation cache at ``cache_dir``.
 
-    Default: ``<repo>/.jax_cache`` (override with env ``LDPC_JAX_CACHE_DIR``;
-    set it to the empty string to disable). Returns the active directory, or
-    None when disabled/unavailable. Safe to call more than once.
+    Default: ``<repo>/.jax_cache/<host-cpu-tag>`` (override with env
+    ``LDPC_JAX_CACHE_DIR``; set it to the empty string to disable).
+    Returns the active directory, or None when disabled/unavailable.
+    Safe to call more than once.
     """
     if cache_dir is None:
-        cache_dir = os.environ.get("LDPC_JAX_CACHE_DIR", _DEFAULT_DIR)
+        cache_dir = os.environ.get("LDPC_JAX_CACHE_DIR", "")
+        if not cache_dir and "LDPC_JAX_CACHE_DIR" in os.environ:
+            return None
+        if not cache_dir:
+            cache_dir = os.path.join(_DEFAULT_DIR, _host_tag())
     if not cache_dir:
         return None
     try:
