@@ -77,6 +77,25 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
         if not cache_dir and "LDPC_JAX_CACHE_DIR" in os.environ:
             return None
         if not cache_dir:
+            # Default-dir path only: skip entirely on the CPU backend.
+            # XLA:CPU executable (de)serialization segfaulted twice in
+            # round 5 — reading foreign-machine entries AND writing this
+            # machine's own large interpret-mode executables
+            # (put_executable_and_time) — and the CPU backend has no
+            # remote-compile latency to amortize anyway. The probe uses
+            # the config VALUE (never initializes a backend, so callers
+            # may still switch platforms afterwards). Explicit
+            # LDPC_JAX_CACHE_DIR / cache_dir arguments are honored
+            # regardless; LDPC_JAX_CACHE_CPU=1 force-enables.
+            try:
+                plat = str(jax.config.values.get("jax_platforms") or "")
+            except Exception:  # pragma: no cover - config shape change
+                plat = ""
+            if (
+                plat.startswith("cpu")
+                and os.environ.get("LDPC_JAX_CACHE_CPU") != "1"
+            ):
+                return None
             cache_dir = os.path.join(_DEFAULT_DIR, _host_tag())
     if not cache_dir:
         return None

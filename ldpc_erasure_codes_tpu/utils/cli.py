@@ -463,6 +463,11 @@ def cmd_verify(args) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        # main() enabled the persistent cache before argument parsing;
+        # XLA:CPU executable serialization is unstable for the battery's
+        # big interpret programs (utils/cache.py round-5 note) — turn it
+        # back off for the CPU run.
+        jax.config.update("jax_compilation_cache_dir", None)
 
     from ldpc_erasure_codes_tpu.utils.verify import run_battery
 

@@ -27,13 +27,15 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-# Persistent compilation cache: the interpret-mode Pallas tests are
-# compile-dominated (the worst leg spent 105 s, almost all of it in XLA);
-# cached executables cut repeat suite runs to the actual compute. Safe —
-# cache keys hash the HLO, so stale hits are impossible.
-from ldpc_erasure_codes_tpu.utils.cache import enable_persistent_cache  # noqa: E402
-
-enable_persistent_cache()
+# NO persistent compilation cache for the CPU test backend (round 5):
+# XLA:CPU executable (de)serialization is not stable for the suite's big
+# interpret-mode Pallas programs — the cache's read path segfaulted on
+# entries produced by a different-CPU machine, and after host-scoping
+# the directory the WRITE path (put_executable_and_time) still
+# segfaulted mid-suite while serializing a large CPU executable. The
+# cache's real win is the remote TPU Mosaic compiles (bench/CLI paths),
+# which keep it; suite runs are compile-bound either way (~6.5 min fast
+# path, cold == warm within noise).
 
 REFERENCE_DIR = "/root/reference"
 
