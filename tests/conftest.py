@@ -37,6 +37,27 @@ if REPO_ROOT not in sys.path:
 # which keep it; suite runs are compile-bound either way (~6.5 min fast
 # path, cold == warm within noise).
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The --slow suite accumulates hundreds of XLA:CPU executables in one
+    process; past ~75% of the suite the NEXT big compile segfaults inside
+    LLVM (backend_compile_and_load) or fails with 'LLVM compilation
+    error: Cannot allocate memory' — with 120+ GB of system RAM free, so
+    it is JIT code-memory pressure, not heap. Dropping the jit caches at
+    module boundaries keeps the live-executable count bounded; modules
+    recompile their own shared fixtures, which the suite absorbs.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 REFERENCE_DIR = "/root/reference"
 
 
