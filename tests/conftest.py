@@ -41,8 +41,8 @@ import pytest  # noqa: E402
 
 
 @pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_between_modules():
-    """Free compiled executables after each test module.
+def _clear_jax_caches_between_modules(request):
+    """Free compiled executables after each test module (--slow runs).
 
     The --slow suite accumulates hundreds of XLA:CPU executables in one
     process; past ~75% of the suite the NEXT big compile segfaults inside
@@ -50,12 +50,15 @@ def _clear_jax_caches_between_modules():
     error: Cannot allocate memory' — with 120+ GB of system RAM free, so
     it is JIT code-memory pressure, not heap. Dropping the jit caches at
     module boundaries keeps the live-executable count bounded; modules
-    recompile their own shared fixtures, which the suite absorbs.
+    recompile their own shared fixtures, which the full suite absorbs
+    (245 green in 17:12). The fast path never reached the pressure point
+    and keeps its caches (clearing cost it ~3 extra minutes).
     """
     yield
-    import jax
+    if request.config.getoption("--slow", default=False):
+        import jax
 
-    jax.clear_caches()
+        jax.clear_caches()
 
 
 REFERENCE_DIR = "/root/reference"

@@ -199,9 +199,8 @@ def test_unrolled_check_orders_same_fixed_point():
 def test_fence_gate_bit_exact():
     """fence_gate=True (round 5: sweep-start fence-union gating) must be
     bit-identical to the ungated unrolled program — values, masks, AND
-    iteration counts — for binary and GF(256), flat and tiled, at a fence
-    size that yields several fences per sweep."""
-    from ldpc_erasure_codes_tpu.codes import toy_code
+    iteration counts — binary, flat and tiled, at a fence size that
+    yields several fences per sweep (NB leg: the slow twin below)."""
     from ldpc_erasure_codes_tpu.ops.pallas_peel import static_topology
 
     code = gen_row_wise([(16, 6)], [(48, 2)], seed=3, max_tries=40,
@@ -222,7 +221,21 @@ def test_fence_gate_bit_exact():
             np.testing.assert_array_equal(
                 np.asarray(x), np.asarray(y), err_msg=f"{kw} {nm}"
             )
-    # GF(256).
+    # fence_gate without the unrolled schedule must fail loudly.
+    with pytest.raises(ValueError):
+        peel_decode_vmem(
+            arrays, recv, mask, b_tile=4, schedule="seq", fence_gate=True,
+            interpret=True,
+        )
+
+
+@pytest.mark.slow
+def test_fence_gate_nb_bit_exact():
+    """GF(256) fence_gate == ungated (the gate is binary-production-only —
+    measured negative for NB — but must stay bit-exact as a knob)."""
+    from ldpc_erasure_codes_tpu.codes import toy_code
+    from ldpc_erasure_codes_tpu.ops.pallas_peel import static_topology
+
     nb = toy_code(n=96, k=64, seed=3, gf_order=256)
     arr_nb = device_arrays(nb)
     key = jax.random.key(12)
@@ -243,12 +256,6 @@ def test_fence_gate_bit_exact():
     )
     for x, y, nm in zip(o1, o2, ("values", "mask", "iters")):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=nm)
-    # fence_gate without the unrolled schedule must fail loudly.
-    with pytest.raises(ValueError):
-        peel_decode_vmem(
-            arrays, recv, mask, b_tile=4, schedule="seq", fence_gate=True,
-            interpret=True,
-        )
 
 
 def test_unrolled_nb_equals_seq():
