@@ -358,10 +358,14 @@ def ge_solve_packed(
         # slice-XOR kernel computes the same rhs in ~1/4 the time
         # (ops/pallas_synd.py; bit-identical, tested).
         _bt_s = 32
+        # 85 MB ceiling, not the kernels' usual ~100: the (2000,1000)
+        # shape's 98 MB single-buffered windows compiled but ran
+        # pathologically slow in battery context (VALIDATION round-5
+        # hybrid notes); the production (2040,1530) shape is 83.7 MB.
         _synd_fits = (
             static_topo is not None
             and b % _bt_s == 0
-            and ((n + 1) + m_pad) * _bt_s * w * 4 <= 100 * 1024 * 1024
+            and ((n + 1) + m_pad) * _bt_s * w * 4 <= 85 * 1024 * 1024
         )
         if _synd_fits:
             from ldpc_erasure_codes_tpu.ops.pallas_synd import (
