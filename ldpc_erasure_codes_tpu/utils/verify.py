@@ -260,10 +260,28 @@ def verify_hybrid(
     recv = jnp.where(jnp.asarray(mask)[:, :, None], jnp.uint32(0),
                      jnp.asarray(cw))
     impl = "gather" if interpret else "vmem"
-    v, e, iters, failed = hybrid_decode(
-        arrays, recv, jnp.asarray(mask), peel_iters=10, emax=emax,
-        impl=impl, ge_subbatch=min(b, 64), b_tile=bt,
-    )
+    if impl == "vmem":
+        # PRODUCTION configuration (bench_hybrid_values.py / CLAUDE.md):
+        # tile-major layout riding straight through, constant-topology
+        # unrolled peel, and the tile-direct GE branch with the baked
+        # tiled syndrome kernel (ops/pallas_synd.py via
+        # ge_solve_packed(static_topo=)) — so a Mosaic/layout regression
+        # in ANY production stage fails this tier, not just the seq path.
+        from ldpc_erasure_codes_tpu.ops import tile_wide, untile_wide
+        from ldpc_erasure_codes_tpu.ops.pallas_peel import static_topology
+
+        topo = static_topology(arrays)
+        v, e, iters, failed = hybrid_decode(
+            arrays, tile_wide(recv, bt), jnp.asarray(mask), peel_iters=10,
+            emax=emax, impl=impl, ge_subbatch=min(b, 64), b_tile=bt,
+            tiled=True, static_topo=topo,
+        )
+        v = untile_wide(v, b, code.n)
+    else:
+        v, e, iters, failed = hybrid_decode(
+            arrays, recv, jnp.asarray(mask), peel_iters=10, emax=emax,
+            impl=impl, ge_subbatch=min(b, 64), b_tile=bt,
+        )
     v, e, failed = map(np.asarray, (v, e, failed))
     ok_f = ~failed
     val_bad = int((v[ok_f] != cw[ok_f]).sum())
