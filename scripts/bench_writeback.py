@@ -12,6 +12,11 @@ gather fuses; the scatter moves 40x less data but measures slower).
 Index maps (slot_of: tile-frame-offset -> bucket slot; inv: per-slot
 symbol -> solved row) are built with two small scatters (~4 MB).
 
+All operands are generated ON DEVICE (a 4.27 GB host->device transfer
+rides the serving tunnel at link speed — minutes — so host-built inputs
+are a measurement bug, not just slow). Donated variants regenerate the
+aliasable tensor on device between reps, outside the timed region.
+
 Run: python scripts/bench_writeback.py   (after warm cache; ~2 min)
 """
 
@@ -37,24 +42,36 @@ T = b // bt
 R = (n + 1) * bt
 key = jax.random.key(0)
 
-# Synthetic but shape-faithful inputs: ~350 distinct solved symbols per
-# bucket slot (the measured .2031 residual width), distinct frames.
-# Production invariants reproduced: x rows whose sidx is the pad symbol n
-# are ZERO and the tile pad block is ZERO, so the scatter's pad writes
-# are no-ops and the gather form may simply keep the pad block.
+# Index data is small — host-built is fine. ~350 distinct solved symbols
+# per bucket slot (the measured .2031 residual width), distinct frames.
+# Production invariants: x rows whose sidx is the pad symbol n are ZERO
+# and the tile pad block is ZERO, so the scatter's pad writes are no-ops
+# and the gather form may simply keep the pad block.
 rng = np.random.default_rng(0)
 sel_np = rng.choice(b, size=f_max, replace=False).astype(np.int32)
 sidx_np = np.full((f_max, emax), n, np.int32)
 for j in range(f_max):
     sidx_np[j, :350] = rng.choice(n, size=350, replace=False)
-x_np = rng.integers(0, 2**32, size=(f_max, emax, w), dtype=np.uint32)
-x_np[sidx_np == n] = 0
-v_np = rng.integers(0, 2**32, size=(T, R, w), dtype=np.uint32)
-v_np.reshape(T, n + 1, bt, w)[:, n] = 0  # pad block zero
-v_t = jax.block_until_ready(jnp.asarray(v_np))
-x = jax.block_until_ready(jnp.asarray(x_np))
 sel = jnp.asarray(sel_np)
 sidx = jnp.asarray(sidx_np)
+
+
+@jax.jit
+def make_v(k):
+    v = jax.random.bits(k, (T, R, w), dtype=jnp.uint32)
+    # Zero the pad block (rows n*bt .. (n+1)*bt).
+    row = jnp.arange(R) // bt
+    return jnp.where((row == n)[None, :, None], jnp.uint32(0), v)
+
+
+@jax.jit
+def make_x(k, sidx):
+    x = jax.random.bits(k, (f_max, emax, w), dtype=jnp.uint32)
+    return jnp.where((sidx == n)[:, :, None], jnp.uint32(0), x)
+
+
+v_t = jax.block_until_ready(make_v(key))
+x = jax.block_until_ready(make_x(jax.random.fold_in(key, 1), sidx))
 
 
 def scatter(v, x, sidx, sel):
@@ -90,11 +107,17 @@ def timed(name, fn, *, donate, reps=8):
     jfn = jax.jit(fn, donate_argnums=(0,) if donate else ())
     times = []
     for i in range(reps + 1):
-        # Fresh aliasable buffer per rep (donation frees it); the copy
-        # sits OUTSIDE the timed region.
-        vc = jax.block_until_ready(jnp.asarray(v_np)) if donate else v_t
+        # Fresh aliasable buffer per rep (donation frees it), built on
+        # device OUTSIDE the timed region; vary content per rep so the
+        # runtime cannot dedupe identical executions.
+        vc = (jax.block_until_ready(make_v(jax.random.fold_in(key, 100 + i)))
+              if donate else v_t)
+        xi = jax.block_until_ready(
+            make_x(jax.random.fold_in(key, 200 + i), sidx)
+        )
+        args = (vc, xi, sidx, sel)
         t0 = time.perf_counter()
-        out = jax.block_until_ready(jfn(vc, x, sidx, sel))
+        out = jax.block_until_ready(jfn(*args))
         if i:  # skip warmup
             times.append(time.perf_counter() - t0)
         del out
@@ -112,11 +135,12 @@ timed("gather rebuild", gather_rebuild, donate=False)
 timed("gather rebuild donated", gather_rebuild, donate=True)
 
 # Correctness cross-check: both forms must agree bit-exactly under the
-# production pad invariants.
-full_a = jax.block_until_ready(jax.jit(scatter)(v_t, x, sidx, sel))
-full_b = jax.block_until_ready(jax.jit(gather_rebuild)(v_t, x, sidx, sel))
-ok = bool(jnp.array_equal(full_a, full_b))
+# production pad invariants (device compare; only the verdict is fetched).
+@jax.jit
+def agree(v, x, sidx, sel):
+    return jnp.array_equal(scatter(v, x, sidx, sel),
+                           gather_rebuild(v, x, sidx, sel))
+
+ok = bool(agree(v_t, x, sidx, sel))
 print(f"equality scatter==gather: {ok}", flush=True)
-if not ok:
-    print(f"MISMATCH words: {int(jnp.sum(full_a != full_b))}")
-    sys.exit(1)
+sys.exit(0 if ok else 1)
